@@ -1,0 +1,354 @@
+"""World -> device scene compilation (SoA JAX arrays).
+
+This is the TPU-native replacement for the reference's per-object device mirror
+(RayZath/cuda_world.cu:28-121, cuda_object_container.cuh:42-150). Instead of
+pointer-linked device objects chunk-copied through pinned memory, the whole scene
+is flattened host-side (NumPy) into static-shape SoA arrays and uploaded as one
+pytree whenever the world's content version changes.
+
+TPU-first design decisions (vs the reference's two-level pointer BVH):
+
+* **World-space triangle soup.** Each instance's mesh is pre-transformed into
+  world space (positions by TRS, normals by inverse-transpose — the semantics of
+  reference ``Transformation::transformL2G``) and concatenated into one global
+  triangle array carrying a *global* material id (instance material slots
+  resolved at compile time, reference cuda_instance.cuh:234) and an instance id
+  (for picking). This turns the reference's TLAS-over-instances +
+  BLAS-per-mesh traversal (cuda_bvh.cuh:114-171 + cuda_instance.cuh:35-91) into
+  ONE flattened BVH traversal with zero per-ray transforms and no material
+  indirection — pure SoA gathers, which is what the TPU VPU wants.
+* **Texture atlases.** All color maps (textures + normal maps) are shelf-packed
+  into one RGBA atlas; scalar maps (metalness/roughness/emission) into a scalar
+  atlas. Per-map UV transform/filter/address-mode live in small tables, so one
+  vectorized fetch kernel serves every map (reference TextureBuffer fetch,
+  render_parts.hpp:209-221).
+* **Materials as a table.** Index 0 is the world ("sky") material, index 1 the
+  default surface material, then user materials — so a ray's current medium is
+  just an int32 (the reference keeps raw ``Material*`` in the ray,
+  cuda_render_parts.cuh:924-947).
+"""
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import numpy as np
+import jax.numpy as jnp
+from flax import struct
+
+from ..ops.bvh import build_bvh, triangle_aabbs, FlatBVH
+from ..utils.hostmath import normalize as nrm
+from .material import Material
+from .texture import TextureMap
+from .world import World
+
+WORLD_MATERIAL_ID = 0
+DEFAULT_MATERIAL_ID = 1
+NO_MAP = -1
+
+
+@struct.dataclass
+class DeviceScene:
+    # geometry (world space), padded to n_tri_pad
+    tri_v0: jnp.ndarray      # [F,3]
+    tri_e1: jnp.ndarray      # [F,3]
+    tri_e2: jnp.ndarray      # [F,3]
+    tri_n0: jnp.ndarray      # [F,3] per-vertex world normals (flat fallback baked)
+    tri_n1: jnp.ndarray
+    tri_n2: jnp.ndarray
+    tri_t0: jnp.ndarray      # [F,2]
+    tri_t1: jnp.ndarray
+    tri_t2: jnp.ndarray
+    tri_mat: jnp.ndarray     # [F] i32 global material id
+    tri_inst: jnp.ndarray    # [F] i32 instance id (picking)
+
+    # flattened BVH over world-space triangles
+    node_min: jnp.ndarray    # [N,3]
+    node_max: jnp.ndarray    # [N,3]
+    node_begin: jnp.ndarray  # [N] i32
+    node_count: jnp.ndarray  # [N] i32 (0 = inner)
+    node_axis: jnp.ndarray   # [N] i32
+
+    # materials SoA (0=world/sky, 1=default)
+    mat_color: jnp.ndarray       # [M,4] rgba (alpha: 1=opaque)
+    mat_metalness: jnp.ndarray   # [M]
+    mat_roughness: jnp.ndarray   # [M]
+    mat_emission: jnp.ndarray    # [M]
+    mat_ior: jnp.ndarray         # [M]
+    mat_scattering: jnp.ndarray  # [M]
+    mat_maps: jnp.ndarray        # [M,5] i32: texture, normal, metalness, roughness, emission (-1 none)
+
+    # texture atlases + per-map tables
+    color_atlas: jnp.ndarray   # [Hc,Wc,4]
+    scalar_atlas: jnp.ndarray  # [Hs,Ws]
+    map_rect: jnp.ndarray      # [K,4] i32: y0,x0,h,w
+    map_flags: jnp.ndarray     # [K,3] i32: filter, address, atlas(0=color,1=scalar)
+    map_uv: jnp.ndarray        # [K,5] f32: scale_x, scale_y, rotation, trans_x, trans_y
+
+    # lights
+    spot_pos: jnp.ndarray        # [S,3]
+    spot_dir: jnp.ndarray        # [S,3]
+    spot_color: jnp.ndarray      # [S,3]
+    spot_size: jnp.ndarray       # [S]
+    spot_emission: jnp.ndarray   # [S]
+    spot_cos_angle: jnp.ndarray  # [S]
+    dir_dir: jnp.ndarray         # [D,3]
+    dir_color: jnp.ndarray       # [D,3]
+    dir_emission: jnp.ndarray    # [D]
+    dir_cos: jnp.ndarray         # [D]
+
+    # static metadata (not traced)
+    n_triangles: int = struct.field(pytree_node=False, default=0)
+    n_materials: int = struct.field(pytree_node=False, default=2)
+    n_spot_lights: int = struct.field(pytree_node=False, default=0)
+    n_direct_lights: int = struct.field(pytree_node=False, default=0)
+    n_instances: int = struct.field(pytree_node=False, default=0)
+    has_maps: bool = struct.field(pytree_node=False, default=False)
+
+
+@struct.dataclass
+class DeviceCamera:
+    position: jnp.ndarray    # [3]
+    rot: jnp.ndarray         # [3,3] columns = axes
+    fov: jnp.ndarray         # scalar
+    near_far: jnp.ndarray    # [2]
+    focal_distance: jnp.ndarray
+    aperture: jnp.ndarray
+    exposure_time: jnp.ndarray
+    width: int = struct.field(pytree_node=False, default=1280)
+    height: int = struct.field(pytree_node=False, default=720)
+
+
+def compile_camera(cam) -> DeviceCamera:
+    return DeviceCamera(
+        position=jnp.asarray(cam.position, jnp.float32),
+        rot=jnp.asarray(cam.coord_system(), jnp.float32),
+        fov=jnp.float32(cam.fov),
+        near_far=jnp.asarray(cam.near_far, jnp.float32),
+        focal_distance=jnp.float32(cam.focal_distance),
+        aperture=jnp.float32(cam.aperture),
+        exposure_time=jnp.float32(cam.exposure_time),
+        width=cam.width,
+        height=cam.height,
+    )
+
+
+# ---------------------------------------------------------------------------
+# atlas packing
+# ---------------------------------------------------------------------------
+
+def _pack_shelf(maps: list[TextureMap], channels: int):
+    """Shelf-pack maps into one atlas. Returns (atlas HxWxC, rects [K,4])."""
+    if not maps:
+        atlas = np.zeros((8, 8, channels), np.float32)
+        return atlas, np.zeros((0, 4), np.int32)
+    max_w = max(max(m.width for m in maps), 8)
+    atlas_w = 1 << int(np.ceil(np.log2(max_w)))
+    rows: list[dict] = []
+    rects = []
+    y_cursor = 0
+    for m in sorted(range(len(maps)), key=lambda i: -maps[i].height):
+        tex = maps[m]
+        placed = False
+        for row in rows:
+            if row["x"] + tex.width <= atlas_w and tex.height <= row["h"]:
+                rects.append((m, row["y"], row["x"], tex.height, tex.width))
+                row["x"] += tex.width
+                placed = True
+                break
+        if not placed:
+            rows.append({"y": y_cursor, "x": tex.width, "h": tex.height})
+            rects.append((m, y_cursor, 0, tex.height, tex.width))
+            y_cursor += tex.height
+    atlas_h = max(y_cursor, 8)
+    atlas = np.zeros((atlas_h, atlas_w, channels), np.float32)
+    out = np.zeros((len(maps), 4), np.int32)
+    for m, y0, x0, h, w in rects:
+        data = maps[m].data
+        atlas[y0:y0 + h, x0:x0 + w, :] = data[:, :, :channels]
+        out[m] = (y0, x0, h, w)
+    return atlas, out
+
+
+# ---------------------------------------------------------------------------
+# world compilation
+# ---------------------------------------------------------------------------
+
+def _pad_rows(a: np.ndarray, n: int, fill=0.0) -> np.ndarray:
+    if len(a) >= n:
+        return a[:n]
+    pad = np.full((n - len(a),) + a.shape[1:], fill, a.dtype)
+    return np.concatenate([a, pad], axis=0)
+
+
+def compile_world(world: World, leaf_size: int = 8) -> DeviceScene:
+    """Flatten the host world into a DeviceScene (see module docstring)."""
+    # ---- material table ----
+    materials: list[Material] = [world.material, world.default_material] + list(world.materials)
+    mat_index = {id(m): i for i, m in enumerate(materials)}
+
+    # ---- map table (global ids across kinds; color maps then scalar maps) ----
+    color_maps: list[TextureMap] = list(world.textures) + list(world.normal_maps)
+    scalar_maps: list[TextureMap] = (list(world.metalness_maps) + list(world.roughness_maps)
+                                     + list(world.emission_maps))
+    all_maps = color_maps + scalar_maps
+    map_id = {id(m): i for i, m in enumerate(all_maps)}
+
+    color_atlas, color_rects = _pack_shelf(color_maps, 4)
+    scalar_atlas3, scalar_rects = _pack_shelf(scalar_maps, 1)
+    scalar_atlas = scalar_atlas3[:, :, 0]
+    k = len(all_maps)
+    map_rect = np.zeros((max(k, 1), 4), np.int32)
+    map_flags = np.zeros((max(k, 1), 3), np.int32)
+    map_uv = np.zeros((max(k, 1), 5), np.float32)
+    map_uv[:, 0:2] = 1.0
+    for i, m in enumerate(all_maps):
+        in_color = i < len(color_maps)
+        rect = color_rects[i] if in_color else scalar_rects[i - len(color_maps)]
+        map_rect[i] = rect
+        map_flags[i] = (m.filter_mode, m.address_mode, 0 if in_color else 1)
+        map_uv[i] = (m.scale[0], m.scale[1], m.rotation, m.translation[0], m.translation[1])
+
+    def map_ref(m: Optional[TextureMap]) -> int:
+        return NO_MAP if m is None else map_id[id(m)]
+
+    n_mat = len(materials)
+    mat_color = np.stack([m.color for m in materials]).astype(np.float32)
+    mat_metalness = np.array([m.metalness for m in materials], np.float32)
+    mat_roughness = np.array([m.roughness for m in materials], np.float32)
+    mat_emission = np.array([m.emission for m in materials], np.float32)
+    mat_ior = np.array([m.ior for m in materials], np.float32)
+    mat_scattering = np.array([m.scattering for m in materials], np.float32)
+    mat_maps = np.array(
+        [[map_ref(m.texture), map_ref(m.normal_map), map_ref(m.metalness_map),
+          map_ref(m.roughness_map), map_ref(m.emission_map)] for m in materials],
+        np.int32,
+    )
+
+    # ---- world-space triangle soup ----
+    v0s, e1s, e2s = [], [], []
+    n0s, n1s, n2s = [], [], []
+    t0s, t1s, t2s = [], [], []
+    mats, insts = [], []
+    for inst_id, inst in enumerate(world.instances):
+        mesh = inst.mesh
+        if mesh is None or mesh.triangle_count == 0:
+            continue
+        tr = inst.effective_transform()
+        wv = tr.points_l2g(mesh.vertices).astype(np.float32)
+        v0 = wv[mesh.tri_v[:, 0]]
+        v1 = wv[mesh.tri_v[:, 1]]
+        v2 = wv[mesh.tri_v[:, 2]]
+        flat = nrm(np.cross(v1 - v0, v2 - v0)).astype(np.float32)
+        if len(mesh.normals):
+            wn = tr.normals_l2g(mesh.normals).astype(np.float32)
+            def vtx_normal(col):
+                idx = mesh.tri_n[:, col]
+                ok = idx >= 0
+                out = flat.copy()
+                out[ok] = wn[idx[ok]]
+                return out
+            n0, n1, n2 = vtx_normal(0), vtx_normal(1), vtx_normal(2)
+        else:
+            n0 = n1 = n2 = flat
+        if len(mesh.texcrds):
+            def vtx_uv(col):
+                idx = mesh.tri_t[:, col]
+                ok = idx >= 0
+                out = np.zeros((len(idx), 2), np.float32)
+                out[ok] = mesh.texcrds[idx[ok]]
+                return out
+            t0, t1, t2 = vtx_uv(0), vtx_uv(1), vtx_uv(2)
+        else:
+            t0 = t1 = t2 = np.zeros((len(v0), 2), np.float32)
+        # resolve material slots -> global ids (reference cuda_instance.cuh:234)
+        slot_table = np.full(64, DEFAULT_MATERIAL_ID, np.int32)
+        for s, mat in enumerate(inst.materials[:64]):
+            if mat is not None:
+                slot_table[s] = mat_index.get(id(mat), DEFAULT_MATERIAL_ID)
+        gmat = slot_table[np.clip(mesh.tri_mat, 0, 63)]
+
+        v0s.append(v0); e1s.append(v1 - v0); e2s.append(v2 - v0)
+        n0s.append(n0); n1s.append(n1); n2s.append(n2)
+        t0s.append(t0); t1s.append(t1); t2s.append(t2)
+        mats.append(gmat)
+        insts.append(np.full(len(v0), inst_id, np.int32))
+
+    if v0s:
+        tri_v0 = np.concatenate(v0s); tri_e1 = np.concatenate(e1s); tri_e2 = np.concatenate(e2s)
+        tri_n0 = np.concatenate(n0s); tri_n1 = np.concatenate(n1s); tri_n2 = np.concatenate(n2s)
+        tri_t0 = np.concatenate(t0s); tri_t1 = np.concatenate(t1s); tri_t2 = np.concatenate(t2s)
+        tri_mat = np.concatenate(mats); tri_inst = np.concatenate(insts)
+    else:
+        tri_v0 = tri_e1 = tri_e2 = np.zeros((0, 3), np.float32)
+        tri_n0 = tri_n1 = tri_n2 = np.zeros((0, 3), np.float32)
+        tri_t0 = tri_t1 = tri_t2 = np.zeros((0, 2), np.float32)
+        tri_mat = np.zeros(0, np.int32); tri_inst = np.zeros(0, np.int32)
+
+    n_tri = len(tri_v0)
+
+    # ---- BVH over world-space triangles + reorder into leaf order ----
+    if n_tri:
+        pmin, pmax = triangle_aabbs(tri_v0, tri_v0 + tri_e1, tri_v0 + tri_e2)
+        bvh: FlatBVH = build_bvh(pmin, pmax, leaf_size=leaf_size)
+        o = bvh.order
+        tri_v0, tri_e1, tri_e2 = tri_v0[o], tri_e1[o], tri_e2[o]
+        tri_n0, tri_n1, tri_n2 = tri_n0[o], tri_n1[o], tri_n2[o]
+        tri_t0, tri_t1, tri_t2 = tri_t0[o], tri_t1[o], tri_t2[o]
+        tri_mat, tri_inst = tri_mat[o], tri_inst[o]
+    else:
+        bvh = build_bvh(np.zeros((0, 3)), np.zeros((0, 3)))
+
+    # pad triangles so the padded tail never hits (v0 far away, degenerate edges)
+    n_tri_pad = max(8, -(-n_tri // 8) * 8)
+    tri_v0 = _pad_rows(tri_v0, n_tri_pad, 1e30)
+    tri_e1 = _pad_rows(tri_e1, n_tri_pad, 0.0)
+    tri_e2 = _pad_rows(tri_e2, n_tri_pad, 0.0)
+    tri_n0 = _pad_rows(tri_n0, n_tri_pad, 0.0)
+    tri_n1 = _pad_rows(tri_n1, n_tri_pad, 0.0)
+    tri_n2 = _pad_rows(tri_n2, n_tri_pad, 0.0)
+    tri_t0 = _pad_rows(tri_t0, n_tri_pad, 0.0)
+    tri_t1 = _pad_rows(tri_t1, n_tri_pad, 0.0)
+    tri_t2 = _pad_rows(tri_t2, n_tri_pad, 0.0)
+    tri_mat = _pad_rows(tri_mat, n_tri_pad, DEFAULT_MATERIAL_ID)
+    tri_inst = _pad_rows(tri_inst, n_tri_pad, -1)
+
+    # ---- lights (padded to >=1 so shapes stay static; counts gate usage) ----
+    n_spot = len(world.spot_lights)
+    n_direct = len(world.direct_lights)
+    sl = list(world.spot_lights)
+    dl = list(world.direct_lights)
+    spot_pos = np.stack([l.position for l in sl]) if sl else np.zeros((1, 3), np.float32)
+    spot_dir = np.stack([l.direction for l in sl]) if sl else np.tile([[0, -1, 0]], (1, 1)).astype(np.float32)
+    spot_color = np.stack([l.color for l in sl]) if sl else np.ones((1, 3), np.float32)
+    spot_size = np.array([l.size for l in sl], np.float32) if sl else np.zeros(1, np.float32)
+    spot_emission = np.array([l.emission for l in sl], np.float32) if sl else np.zeros(1, np.float32)
+    spot_cos = np.array([l.cos_beam_angle for l in sl], np.float32) if sl else np.ones(1, np.float32)
+    dir_dir = np.stack([l.direction for l in dl]) if dl else np.tile([[0, -1, 0]], (1, 1)).astype(np.float32)
+    dir_color = np.stack([l.color for l in dl]) if dl else np.ones((1, 3), np.float32)
+    dir_emission = np.array([l.emission for l in dl], np.float32) if dl else np.zeros(1, np.float32)
+    dir_cos = np.array([l.cos_angular_size for l in dl], np.float32) if dl else np.ones(1, np.float32)
+
+    return DeviceScene(
+        tri_v0=jnp.asarray(tri_v0), tri_e1=jnp.asarray(tri_e1), tri_e2=jnp.asarray(tri_e2),
+        tri_n0=jnp.asarray(tri_n0), tri_n1=jnp.asarray(tri_n1), tri_n2=jnp.asarray(tri_n2),
+        tri_t0=jnp.asarray(tri_t0), tri_t1=jnp.asarray(tri_t1), tri_t2=jnp.asarray(tri_t2),
+        tri_mat=jnp.asarray(tri_mat), tri_inst=jnp.asarray(tri_inst),
+        node_min=jnp.asarray(bvh.node_min), node_max=jnp.asarray(bvh.node_max),
+        node_begin=jnp.asarray(bvh.node_begin), node_count=jnp.asarray(bvh.node_count),
+        node_axis=jnp.asarray(bvh.node_axis),
+        mat_color=jnp.asarray(mat_color), mat_metalness=jnp.asarray(mat_metalness),
+        mat_roughness=jnp.asarray(mat_roughness), mat_emission=jnp.asarray(mat_emission),
+        mat_ior=jnp.asarray(mat_ior), mat_scattering=jnp.asarray(mat_scattering),
+        mat_maps=jnp.asarray(mat_maps),
+        color_atlas=jnp.asarray(color_atlas), scalar_atlas=jnp.asarray(scalar_atlas),
+        map_rect=jnp.asarray(map_rect), map_flags=jnp.asarray(map_flags), map_uv=jnp.asarray(map_uv),
+        spot_pos=jnp.asarray(spot_pos), spot_dir=jnp.asarray(spot_dir),
+        spot_color=jnp.asarray(spot_color), spot_size=jnp.asarray(spot_size),
+        spot_emission=jnp.asarray(spot_emission), spot_cos_angle=jnp.asarray(spot_cos),
+        dir_dir=jnp.asarray(dir_dir), dir_color=jnp.asarray(dir_color),
+        dir_emission=jnp.asarray(dir_emission), dir_cos=jnp.asarray(dir_cos),
+        n_triangles=n_tri, n_materials=n_mat,
+        n_spot_lights=n_spot, n_direct_lights=n_direct,
+        n_instances=len(world.instances),
+        has_maps=k > 0,
+    )

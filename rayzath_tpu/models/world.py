@@ -1,0 +1,153 @@
+"""Host world: typed object containers + world/default materials.
+
+TPU-native equivalent of the reference ``Engine::World`` (RayZath/world.hpp:64-196):
+a container per object type (5 map kinds, Material, Mesh, Camera, SpotLight,
+DirectLight, Instance, Group) with create/destroy and name lookup, a global sky
+("world") material, a default surface material, and procedural generate shortcuts.
+
+Instead of per-object GPU mirroring, the world carries a monotonically increasing
+``version``; the device compiler (models/device_scene.py) re-flattens the scene
+into SoA JAX arrays whenever the version changed.
+"""
+from __future__ import annotations
+
+from typing import Generic, List, Optional, TypeVar
+
+import numpy as np
+
+from .camera import Camera
+from .instance import Group, Instance
+from .lights import DirectLight, SpotLight
+from .material import Material, world_default_material, default_surface_material
+from .mesh import Mesh, GENERATORS
+from .texture import (Texture, NormalMap, MetalnessMap, RoughnessMap, EmissionMap)
+
+T = TypeVar("T")
+
+
+class ObjectContainer(Generic[T]):
+    """Growable container with swap-compaction destroy + name lookup
+    (reference object_container.hpp:90-132)."""
+
+    def __init__(self, world: "World"):
+        self._world = world
+        self._objects: List[T] = []
+
+    def create(self, obj: T) -> T:
+        self._objects.append(obj)
+        self._world.touch()
+        return obj
+
+    def destroy(self, obj: T) -> bool:
+        try:
+            idx = self._objects.index(obj)
+        except ValueError:
+            return False
+        self._objects[idx] = self._objects[-1]
+        self._objects.pop()
+        self._world.touch()
+        return True
+
+    def find(self, name: str) -> Optional[T]:
+        for o in self._objects:
+            if getattr(o, "name", None) == name:
+                return o
+        return None
+
+    def clear(self) -> None:
+        self._objects.clear()
+        self._world.touch()
+
+    def __len__(self) -> int:
+        return len(self._objects)
+
+    def __iter__(self):
+        return iter(self._objects)
+
+    def __getitem__(self, idx: int) -> T:
+        return self._objects[idx]
+
+    def index_of(self, obj: T) -> int:
+        return self._objects.index(obj)
+
+
+class World:
+    def __init__(self):
+        self.version = 0
+        self.textures: ObjectContainer[Texture] = ObjectContainer(self)
+        self.normal_maps: ObjectContainer[NormalMap] = ObjectContainer(self)
+        self.metalness_maps: ObjectContainer[MetalnessMap] = ObjectContainer(self)
+        self.roughness_maps: ObjectContainer[RoughnessMap] = ObjectContainer(self)
+        self.emission_maps: ObjectContainer[EmissionMap] = ObjectContainer(self)
+        self.materials: ObjectContainer[Material] = ObjectContainer(self)
+        self.meshes: ObjectContainer[Mesh] = ObjectContainer(self)
+        self.cameras: ObjectContainer[Camera] = ObjectContainer(self)
+        self.spot_lights: ObjectContainer[SpotLight] = ObjectContainer(self)
+        self.direct_lights: ObjectContainer[DirectLight] = ObjectContainer(self)
+        self.instances: ObjectContainer[Instance] = ObjectContainer(self)
+        self.groups: ObjectContainer[Group] = ObjectContainer(self)
+
+        self.material = world_default_material()        # sky/world material
+        self.default_material = default_surface_material()
+
+    # -- dirty tracking (analog of reference StateRegister, updatable.hpp:10-32) --
+    def touch(self) -> None:
+        self.version += 1
+
+    def content_version(self) -> int:
+        """Version that also reflects in-place edits of meshes/cameras/instances."""
+        v = self.version
+        for m in self.meshes:
+            v += m.version
+        for i in self.instances:
+            v += i.version
+        return v
+
+    # -- convenience creators --------------------------------------------------
+    def create_material(self, name: str = "material", **kwargs) -> Material:
+        return self.materials.create(Material(name=name, **kwargs))
+
+    def generate_material(self, preset: str) -> Material:
+        return self.materials.create(Material.preset(preset))
+
+    def create_mesh(self, name: str = "mesh", **kwargs) -> Mesh:
+        return self.meshes.create(Mesh(name=name, **kwargs))
+
+    def generate_mesh(self, kind: str, **kwargs) -> Mesh:
+        """Procedural mesh (reference World::generateMesh, world.cpp:129-560);
+        kinds: cube, plane, sphere/uvsphere, icosphere, cone, cylinder, torus."""
+        gen = GENERATORS.get(kind.lower())
+        if gen is None:
+            raise KeyError(f"unknown mesh kind {kind!r}; have {sorted(GENERATORS)}")
+        return self.meshes.create(gen(**kwargs))
+
+    def create_camera(self, name: str = "camera", **kwargs) -> Camera:
+        return self.cameras.create(Camera(name=name, **kwargs))
+
+    def create_spot_light(self, name: str = "spot light", **kwargs) -> SpotLight:
+        return self.spot_lights.create(SpotLight(name=name, **kwargs))
+
+    def create_direct_light(self, name: str = "direct light", **kwargs) -> DirectLight:
+        return self.direct_lights.create(DirectLight(name=name, **kwargs))
+
+    def create_instance(self, name: str = "instance", **kwargs) -> Instance:
+        return self.instances.create(Instance(name=name, **kwargs))
+
+    def create_group(self, name: str = "group", **kwargs) -> Group:
+        return self.groups.create(Group(name=name, **kwargs))
+
+    def destroy_all(self) -> None:
+        """Reference World::destroyAll (world.cpp:81-99)."""
+        for c in (self.textures, self.normal_maps, self.metalness_maps,
+                  self.roughness_maps, self.emission_maps, self.materials,
+                  self.meshes, self.cameras, self.spot_lights, self.direct_lights,
+                  self.instances, self.groups):
+            c.clear()
+
+    # -- stats ------------------------------------------------------------------
+    def triangle_count(self) -> int:
+        total = 0
+        for inst in self.instances:
+            if inst.mesh is not None:
+                total += inst.mesh.triangle_count
+        return total

@@ -1,0 +1,107 @@
+"""Vectorized texture-map fetch from packed atlases.
+
+Semantics mirror the reference ``TextureBuffer::fetch`` (render_parts.hpp:209-221)
+and the CUDA texture path (cuda_buffer.cuh TextureBuffer): the UV transform is
+``uv += translation; uv.rotate(rotation); uv *= scale``; the v axis is flipped
+(image row 0 = top, v = 1); point or bilinear filtering with
+wrap/clamp/mirror/border addressing.
+
+All maps live in two atlases (color RGBA + scalar), with per-map integer rects,
+so a single gather-based kernel serves every map kind.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+FILTER_POINT = 0
+FILTER_LINEAR = 1
+ADDRESS_WRAP = 0
+ADDRESS_CLAMP = 1
+ADDRESS_MIRROR = 2
+ADDRESS_BORDER = 3
+
+
+def _apply_address(x, mode):
+    """Apply address mode to normalized coordinate x (any shape); returns
+    (coord in [0,1), border_mask)."""
+    wrap = jnp.mod(x, 1.0)
+    clamp = jnp.clip(x, 0.0, 1.0 - 1e-6)
+    period = jnp.mod(x, 2.0)
+    mirror = jnp.where(period > 1.0, 2.0 - period, period)
+    mirror = jnp.clip(mirror, 0.0, 1.0 - 1e-6)
+    border_out = (x < 0.0) | (x >= 1.0)
+    coord = jnp.where(mode == ADDRESS_WRAP, wrap,
+             jnp.where(mode == ADDRESS_CLAMP, clamp,
+              jnp.where(mode == ADDRESS_MIRROR, mirror, clamp)))
+    is_border = (mode == ADDRESS_BORDER) & border_out
+    return coord, is_border
+
+
+def _transform_uv(uv, map_uv, map_id):
+    """uv += translation; rotate; *= scale (reference render_parts.hpp:209-212)."""
+    prm = map_uv[map_id]  # [R,5]: sx, sy, rot, tx, ty
+    u = uv[..., 0] + prm[..., 3]
+    v = uv[..., 1] + prm[..., 4]
+    c, s = jnp.cos(prm[..., 2]), jnp.sin(prm[..., 2])
+    ur = u * c - v * s
+    vr = u * s + v * c
+    return ur * prm[..., 0], vr * prm[..., 1]
+
+
+def fetch(color_atlas, scalar_atlas, map_rect, map_flags, map_uv, map_id, uv):
+    """Fetch maps for a batch: ``map_id`` [R] int32 (>=0), ``uv`` [R,2].
+
+    Returns [R,4]: RGBA for color-atlas maps; scalar maps broadcast the value to
+    all four channels.
+    """
+    mid = jnp.maximum(map_id, 0)
+    u, v = _transform_uv(uv, map_uv, mid)
+    flags = map_flags[mid]
+    filt, addr, which = flags[..., 0], flags[..., 1], flags[..., 2]
+    rect = map_rect[mid]
+    y0, x0 = rect[..., 0], rect[..., 1]
+    h, w = rect[..., 2], rect[..., 3]
+
+    un, ub = _apply_address(u, addr)
+    vn, vb = _apply_address(v, addr)
+    vn = 1.0 - vn  # v flip (reference render_parts.hpp:214)
+    is_border = ub | vb
+
+    wf = w.astype(jnp.float32)
+    hf = h.astype(jnp.float32)
+
+    def gather(px, py):
+        px = jnp.clip(px, 0, w - 1) + x0
+        py = jnp.clip(py, 0, h - 1) + y0
+        c = color_atlas[py, px]                       # [R,4]
+        sc = scalar_atlas[py, px]                     # [R]
+        s4 = jnp.broadcast_to(sc[..., None], sc.shape + (4,))
+        return jnp.where((which == 0)[..., None], c, s4)
+
+    # point sample
+    pxp = jnp.floor(un * wf).astype(jnp.int32)
+    pyp = jnp.floor(vn * hf).astype(jnp.int32)
+    point_val = gather(pxp, pyp)
+
+    # bilinear sample (texel centers at +0.5)
+    fx = un * wf - 0.5
+    fy = vn * hf - 0.5
+    x_lo = jnp.floor(fx).astype(jnp.int32)
+    y_lo = jnp.floor(fy).astype(jnp.int32)
+    ax = (fx - x_lo.astype(jnp.float32))[..., None]
+    ay = (fy - y_lo.astype(jnp.float32))[..., None]
+    v00 = gather(x_lo, y_lo)
+    v10 = gather(x_lo + 1, y_lo)
+    v01 = gather(x_lo, y_lo + 1)
+    v11 = gather(x_lo + 1, y_lo + 1)
+    linear_val = ((v00 * (1 - ax) + v10 * ax) * (1 - ay)
+                  + (v01 * (1 - ax) + v11 * ax) * ay)
+
+    out = jnp.where((filt == FILTER_POINT)[..., None], point_val, linear_val)
+    return jnp.where(is_border[..., None], 0.0, out)
+
+
+def fetch_scene(scene, map_id, uv):
+    """Convenience wrapper over a DeviceScene."""
+    return fetch(scene.color_atlas, scene.scalar_atlas, scene.map_rect,
+                 scene.map_flags, scene.map_uv, map_id, uv)

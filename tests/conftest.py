@@ -1,0 +1,12 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+Must set env BEFORE jax is imported anywhere. The real-TPU path is exercised by
+bench.py and the driver's __graft_entry__ checks, not by unit tests.
+"""
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")
