@@ -1,0 +1,34 @@
+"""Render configuration.
+
+Mirrors the reference ``RenderConfig`` (RayZath/engine_parts.hpp:76-128):
+``Tracing{max_depth=16, rpp=8}`` and ``LightSampling{spot=1, direct=1}``.
+These are static (compile-time) values for the jitted integrator.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+
+
+@dataclass(frozen=True)
+class Tracing:
+    max_depth: int = 16
+    rpp: int = 8  # bounce-steps (cumulative passes) per render cycle
+
+
+@dataclass(frozen=True)
+class LightSampling:
+    spot_light: int = 1
+    direct_light: int = 1
+
+
+@dataclass(frozen=True)
+class RenderConfig:
+    tracing: Tracing = Tracing()
+    light_sampling: LightSampling = LightSampling()
+    # TPU-specific knobs (not in reference):
+    brute_force_threshold: int = 1024  # scenes with <= this many tris skip the BVH
+    bvh_leaf_size: int = 8
+    chunk: int = 512                   # brute-force triangle tile size
+
+    def with_(self, **kw) -> "RenderConfig":
+        return replace(self, **kw)

@@ -11,10 +11,11 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from ..utils.hostmath import normalize
+from .versioned import Versioned
 
 
 @dataclass
-class SpotLight:
+class SpotLight(Versioned):
     name: str = "spot light"
     position: np.ndarray = field(default_factory=lambda: np.zeros(3, np.float32))
     direction: np.ndarray = field(default_factory=lambda: np.array([0, -1, 0], np.float32))
@@ -34,7 +35,7 @@ class SpotLight:
 
 
 @dataclass
-class DirectLight:
+class DirectLight(Versioned):
     name: str = "direct light"
     direction: np.ndarray = field(default_factory=lambda: np.array([0, -1, 0], np.float32))
     color: np.ndarray = field(default_factory=lambda: np.ones(3, np.float32))

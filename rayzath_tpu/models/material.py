@@ -17,6 +17,7 @@ from typing import Optional
 import numpy as np
 
 from .texture import Texture, NormalMap, MetalnessMap, RoughnessMap, EmissionMap
+from .versioned import Versioned
 
 
 def _rgba(r, g, b, a=1.0):
@@ -24,7 +25,7 @@ def _rgba(r, g, b, a=1.0):
 
 
 @dataclass
-class Material:
+class Material(Versioned):
     name: str = "material"
     color: np.ndarray = field(default_factory=lambda: _rgba(1, 1, 1, 1))
     metalness: float = 0.0

@@ -12,6 +12,8 @@ from typing import ClassVar
 
 import numpy as np
 
+from .versioned import Versioned
+
 FILTER_POINT = 0
 FILTER_LINEAR = 1
 ADDRESS_WRAP = 0
@@ -35,7 +37,7 @@ def address_mode_id(name) -> int:
 
 
 @dataclass
-class TextureMap:
+class TextureMap(Versioned):
     """Base host map: ``data`` is float32 [H, W, C] in [0, 1] (or any float for emission)."""
 
     channels: ClassVar[int] = 4

@@ -95,12 +95,18 @@ class World:
         self.version += 1
 
     def content_version(self) -> int:
-        """Version that also reflects in-place edits of meshes/cameras/instances."""
+        """Scene fingerprint reflecting in-place edits of every render-visible
+        object (the reference's StateRegister dirty cascade, updatable.hpp:10-54).
+        Cameras are excluded: they mirror separately per view."""
         v = self.version
-        for m in self.meshes:
-            v += m.version
-        for i in self.instances:
-            v += i.version
+        for container in (self.meshes, self.instances, self.materials,
+                          self.spot_lights, self.direct_lights, self.textures,
+                          self.normal_maps, self.metalness_maps,
+                          self.roughness_maps, self.emission_maps, self.groups):
+            for o in container:
+                v += getattr(o, "version", 0)
+        v += getattr(self.material, "version", 0)
+        v += getattr(self.default_material, "version", 0)
         return v
 
     # -- convenience creators --------------------------------------------------

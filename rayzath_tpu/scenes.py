@@ -1,0 +1,154 @@
+"""Built-in benchmark scenes (BASELINE.md configs).
+
+These mirror the driver's benchmark configurations: Cornell box (diffuse, the
+headline perf scene), a mesh + mirror/glossy scene, a multi-light NEE scene,
+and a refractive/scattering + depth-of-field scene.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from .models import World, Material
+from .models.mesh import Mesh
+from .utils.hostmath import Transform
+
+
+def _quad(name: str, p0, p1, p2, p3) -> Mesh:
+    """Two-triangle quad with consistent winding (normal = cross(p1-p0, p3-p0))."""
+    v = np.asarray([p0, p1, p2, p3], np.float32)
+    t = np.asarray([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32)
+    tri_v = np.asarray([[0, 1, 2], [0, 2, 3]], np.int32)
+    return Mesh(name, vertices=v, texcrds=t, tri_v=tri_v, tri_t=tri_v.copy())
+
+
+def cornell_box(width: int = 512, height: int = 512,
+                light_emission: float = 40.0) -> World:
+    """Classic Cornell box: white floor/ceiling/back, red left, green right,
+    two boxes, emissive ceiling quad. Diffuse-only materials (BASELINE config 1).
+
+    Box is [-1,1]^3 in x/y, z in [0,2]; camera looks down +z.
+    """
+    w = World()
+    white = w.create_material("white", color=(0.73, 0.73, 0.73, 1.0))
+    red = w.create_material("red", color=(0.65, 0.05, 0.05, 1.0))
+    green = w.create_material("green", color=(0.12, 0.45, 0.15, 1.0))
+    light = w.create_material("light", color=(1.0, 0.84, 0.6, 1.0),
+                              emission=light_emission)
+
+    def add(mesh: Mesh, mat: Material):
+        w.meshes.create(mesh)
+        w.create_instance(name=mesh.name, mesh=mesh, materials=[mat])
+
+    # walls (normals facing inward)
+    add(_quad("floor", (-1, -1, 0), (1, -1, 0), (1, -1, 2), (-1, -1, 2)), white)
+    add(_quad("ceiling", (-1, 1, 0), (-1, 1, 2), (1, 1, 2), (1, 1, 0)), white)
+    add(_quad("back", (-1, -1, 2), (1, -1, 2), (1, 1, 2), (-1, 1, 2)), white)
+    add(_quad("left", (-1, -1, 0), (-1, -1, 2), (-1, 1, 2), (-1, 1, 0)), red)
+    add(_quad("right", (1, -1, 0), (1, 1, 0), (1, 1, 2), (1, -1, 2)), green)
+    # ceiling light (slightly below ceiling, facing down)
+    add(_quad("lamp", (-0.3, 0.995, 0.7), (-0.3, 0.995, 1.3),
+              (0.3, 0.995, 1.3), (0.3, 0.995, 0.7)), light)
+
+    # two boxes
+    tall = w.generate_mesh("cube")
+    tall.name = "tall box"
+    w.create_instance(
+        name="tall box", mesh=tall, materials=[white],
+        transform=Transform(position=(-0.35, -0.4, 1.4), rotation=(0, 0.3, 0),
+                            scale=(0.6, 1.2, 0.6)))
+    short = w.generate_mesh("cube")
+    short.name = "short box"
+    w.create_instance(
+        name="short box", mesh=short, materials=[white],
+        transform=Transform(position=(0.4, -0.7, 0.9), rotation=(0, -0.35, 0),
+                            scale=(0.6, 0.6, 0.6)))
+
+    cam = w.create_camera(
+        "camera", position=(0.0, 0.0, -1.95), resolution=(width, height),
+        fov=float(np.pi / 4) * 1.6, focal_distance=3.0, aperture=0.02,
+        exposure_time=1.0 / 60.0)
+    cam.look_at((0.0, 0.0, 1.0))
+    return w
+
+
+def teapot_like(width: int = 512, height: int = 512) -> World:
+    """Mesh + mirror/glossy + per-vertex normals (BASELINE config 2):
+    a smooth uv-sphere and a torus on a plane, mirror + glossy materials,
+    one direct light."""
+    w = World()
+    ground = w.generate_material("paper")
+    mirror = w.generate_material("mirror")
+    gold = w.generate_material("gold")
+    plane = w.generate_mesh("plane", sides=4, width=8.0, height=8.0)
+    w.create_instance(name="ground", mesh=plane, materials=[ground],
+                      transform=Transform(position=(0, -1, 0)))
+    sphere = w.generate_mesh("sphere", resolution=32)
+    w.create_instance(name="mirror sphere", mesh=sphere, materials=[mirror],
+                      transform=Transform(position=(-1.2, 0, 0)))
+    torus = w.generate_mesh("torus", major_resolution=48, minor_resolution=24)
+    w.create_instance(name="gold torus", mesh=torus, materials=[gold],
+                      transform=Transform(position=(1.2, -0.5, 0), rotation=(0.9, 0, 0)))
+    w.create_direct_light(direction=(-0.5, -1.0, 0.5), emission=8.0, angular_size=0.1)
+    w.material.emission = 0.6  # dim sky dome
+    cam = w.create_camera("camera", position=(0, 1.2, -4.5), resolution=(width, height),
+                          fov=float(np.pi / 3), focal_distance=4.5, aperture=0.001,
+                          exposure_time=6.7)
+    cam.look_at((0, -0.2, 0))
+    return w
+
+
+def multi_light(width: int = 512, height: int = 512) -> World:
+    """NEE + MIS scene (BASELINE config 3): spot + direct lights, soft shadows."""
+    w = World()
+    white = w.create_material("white", color=(0.8, 0.8, 0.8, 1.0))
+    rough = w.create_material("rough", color=(0.6, 0.6, 0.9, 1.0), roughness=0.3, ior=1.5)
+    plane = w.generate_mesh("plane", sides=4, width=10.0, height=10.0)
+    w.create_instance(name="ground", mesh=plane, materials=[white],
+                      transform=Transform(position=(0, 0, 0)))
+    cube = w.generate_mesh("cube")
+    w.create_instance(name="cube", mesh=cube, materials=[rough],
+                      transform=Transform(position=(0, 0.5, 0)))
+    sph = w.generate_mesh("sphere", resolution=24)
+    w.create_instance(name="sphere", mesh=sph, materials=[white],
+                      transform=Transform(position=(1.8, 0.5, 0.5), scale=(0.5, 0.5, 0.5)))
+    w.create_spot_light(position=(-2.0, 3.0, -1.0), direction=(0.5, -1.0, 0.3),
+                        color=(1.0, 0.9, 0.7), size=0.3, emission=120.0, beam_angle=0.7)
+    w.create_spot_light(position=(2.5, 2.5, -2.0), direction=(-0.6, -0.8, 0.6),
+                        color=(0.4, 0.6, 1.0), size=0.2, emission=90.0, beam_angle=0.5)
+    w.create_direct_light(direction=(0.3, -1.0, 0.2), emission=3.0, angular_size=0.05)
+    cam = w.create_camera("camera", position=(0, 2.0, -5.0), resolution=(width, height),
+                          fov=float(np.pi / 3), focal_distance=5.0, aperture=0.002,
+                          exposure_time=1.67)
+    cam.look_at((0, 0.4, 0))
+    return w
+
+
+def glass_and_fog(width: int = 512, height: int = 512) -> World:
+    """Refractive/scattering nested objects + DoF camera (BASELINE config 4)."""
+    w = World()
+    white = w.create_material("white", color=(0.75, 0.75, 0.75, 1.0))
+    glass = w.generate_material("glass")
+    fog = w.create_material("fog", color=(0.9, 0.95, 1.0, 0.0), ior=1.0, scattering=0.8)
+    plane = w.generate_mesh("plane", sides=4, width=8.0, height=8.0)
+    w.create_instance(name="ground", mesh=plane, materials=[white],
+                      transform=Transform(position=(0, -1, 0)))
+    sph = w.generate_mesh("sphere", resolution=32)
+    w.create_instance(name="glass sphere", mesh=sph, materials=[glass],
+                      transform=Transform(position=(-0.9, 0, 0)))
+    w.create_instance(name="fog sphere", mesh=sph, materials=[fog],
+                      transform=Transform(position=(1.1, 0, 0.6)))
+    w.create_direct_light(direction=(-0.4, -1.0, 0.3), emission=6.0, angular_size=0.1)
+    w.material.emission = 0.8
+    cam = w.create_camera("camera", position=(0.3, 0.6, -4.0), resolution=(width, height),
+                          fov=float(np.pi / 3), focal_distance=4.0, aperture=0.06,
+                          exposure_time=0.0019)
+    cam.look_at((0, -0.1, 0))
+    return w
+
+
+SCENES = {
+    "cornell_box": cornell_box,
+    "teapot_like": teapot_like,
+    "multi_light": multi_light,
+    "glass_and_fog": glass_and_fog,
+}
