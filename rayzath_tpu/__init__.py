@@ -8,6 +8,14 @@ differentiability (path-replay style), and multi-chip scaling via
 jax.sharding meshes.
 """
 
+import os as _os
+
+# Persistent XLA compilation cache: TPU compiles of the integrator scan are
+# expensive (tens of seconds, occasionally much worse on the tunneled
+# backend); caching makes every process after the first start instantly.
+_os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                       _os.path.expanduser("~/.cache/rayzath_tpu_xla"))
+
 from .engine import Engine, Renderer, RenderConfig, Tracing, LightSampling
 from .models import (World, Material, Mesh, Camera, SpotLight, DirectLight,
                      Instance, Group, Texture, NormalMap, MetalnessMap,

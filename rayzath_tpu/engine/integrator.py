@@ -37,7 +37,8 @@ import jax.numpy as jnp
 from ..models.device_scene import DeviceScene, DeviceCamera, WORLD_MATERIAL_ID
 from ..ops import camera as cam_ops
 from ..ops import texture as tex_ops
-from ..ops.intersect import (brute_force_closest, brute_force_shadow, refine_hit)
+from ..ops.gather import gather_rows
+from ..ops.intersect import (project_closest, project_shadow, refine_hit)
 from ..ops.traverse import bvh_closest, bvh_shadow
 from ..ops.vec import (dot, normalize, lerp, reflect, halfway,
                        cosine_sample_hemisphere, sample_sphere, sample_hemisphere,
@@ -68,13 +69,13 @@ def material_fetch(scene: DeviceScene, mat_id, texcrd) -> MatProps:
     Material::color/emission/metalness/roughness with maps,
     cuda_material.cuh:70-123)."""
     mid = jnp.clip(mat_id, 0, scene.n_materials - 1)
-    base = scene.mat_color[mid]
+    base = gather_rows(scene.mat_color, mid)
     rgb = base[:, :3]
     alpha_op = 1.0 - base[:, 3]
-    metal = scene.mat_metalness[mid]
-    rough = scene.mat_roughness[mid]
-    emis = scene.mat_emission[mid]
-    maps = scene.mat_maps[mid]
+    metal = gather_rows(scene.mat_metalness, mid)
+    rough = gather_rows(scene.mat_roughness, mid)
+    emis = gather_rows(scene.mat_emission, mid)
+    maps = gather_rows(scene.mat_maps, mid)
     if scene.has_maps:
         tex_id, nrm_id, met_id, rgh_id, emi_id = (maps[:, k] for k in range(5))
         tex = tex_ops.fetch_scene(scene, tex_id, texcrd)
@@ -91,7 +92,8 @@ def material_fetch(scene: DeviceScene, mat_id, texcrd) -> MatProps:
     else:
         normal_map = jnp.full_like(mid, NO_MAP)
     return MatProps(rgb, alpha_op, metal, rough, emis,
-                    scene.mat_ior[mid], scene.mat_scattering[mid], normal_map)
+                    gather_rows(scene.mat_ior, mid),
+                    gather_rows(scene.mat_scattering, mid), normal_map)
 
 
 # ---------------------------------------------------------------------------
@@ -102,19 +104,19 @@ def closest_hit(scene: DeviceScene, cfg: RenderConfig, o, d, near, far):
     """Returns (t, tri_id, b1, b2, external); ids are stop-gradient, (t,b1,b2)
     re-derived differentiably (path-replay)."""
     if scene.n_triangles <= cfg.brute_force_threshold:
-        t, tid, b1, b2, ext = brute_force_closest(
-            o, d, near, far, scene.tri_v0, scene.tri_e1, scene.tri_e2,
-            chunk=min(cfg.chunk, scene.tri_v0.shape[0]))
+        t, tid = project_closest(o, d, near, far, scene.tri_pw, scene.tri_pc,
+                                 chunk=min(cfg.chunk, scene.tri_v0.shape[0]))
     else:
         hit = bvh_closest(o, d, near, far,
                           scene.node_min, scene.node_max, scene.node_begin,
                           scene.node_count, scene.node_axis,
                           scene.tri_v0, scene.tri_e1, scene.tri_e2,
                           leaf_size=cfg.bvh_leaf_size)
-        t, tid, b1, b2, ext = hit.t, hit.tri_id, hit.b1, hit.b2, hit.external
+        t, tid = hit.t, hit.tri_id
     tid = jax.lax.stop_gradient(tid)
-    ext = jax.lax.stop_gradient(ext)
-    t_r, b1_r, b2_r, _ = refine_hit(o, d, tid, scene.tri_v0, scene.tri_e1, scene.tri_e2)
+    t_r, b1_r, b2_r, det = refine_hit(o, d, tid, scene.tri_v0, scene.tri_e1,
+                                      scene.tri_e2)
+    ext = jax.lax.stop_gradient(det > 0.0)
     hit_mask = tid >= 0
     t = jnp.where(hit_mask, t_r, jax.lax.stop_gradient(t))
     b1 = jnp.where(hit_mask, b1_r, 0.0)
@@ -127,9 +129,9 @@ def shadow_test(scene: DeviceScene, cfg: RenderConfig, o, d, dist):
     op_rgb = scene.mat_color[scene.tri_mat][:, :3]
     op_a = 1.0 - scene.mat_color[scene.tri_mat][:, 3]
     if scene.n_triangles <= cfg.brute_force_threshold:
-        return brute_force_shadow(o, d, dist, scene.tri_v0, scene.tri_e1,
-                                  scene.tri_e2, op_rgb, op_a,
-                                  chunk=min(cfg.chunk, scene.tri_v0.shape[0]))
+        return project_shadow(o, d, dist, scene.tri_pw, scene.tri_pc,
+                              op_rgb, op_a,
+                              chunk=min(cfg.chunk, scene.tri_v0.shape[0]))
     return bvh_shadow(o, d, dist,
                       scene.node_min, scene.node_max, scene.node_begin,
                       scene.node_count, scene.node_axis,
@@ -223,12 +225,12 @@ def _nee_spot(scene, cfg, point, next_dir, d_in, mapped_normal, surf_scattering,
     for s in range(n_samples):
         us = u[:, 3 * s:3 * s + 3]
         li = jnp.minimum((us[:, 0] * n_lights).astype(jnp.int32), n_lights - 1)
-        lpos = scene.spot_pos[li]
-        ldir = scene.spot_dir[li]
-        lcol = scene.spot_color[li]
-        lsize = scene.spot_size[li]
-        lemit = scene.spot_emission[li]
-        lcos = scene.spot_cos_angle[li]
+        lpos = gather_rows(scene.spot_pos, li)
+        ldir = gather_rows(scene.spot_dir, li)
+        lcol = gather_rows(scene.spot_color, li)
+        lsize = gather_rows(scene.spot_size, li)
+        lemit = gather_rows(scene.spot_emission, li)
+        lcos = gather_rows(scene.spot_cos_angle, li)
 
         # sampleDirection (cuda_spot_light.cuh:56-80)
         v_pl0 = lpos - point
@@ -272,10 +274,10 @@ def _nee_direct(scene, cfg, point, next_dir, d_in, mapped_normal, surf_scatterin
     for s in range(n_samples):
         us = u[:, 3 * s:3 * s + 3]
         li = jnp.minimum((us[:, 0] * n_lights).astype(jnp.int32), n_lights - 1)
-        ldir = scene.dir_dir[li]
-        lcol = scene.dir_color[li]
-        lemit = scene.dir_emission[li]
-        lcos = scene.dir_cos[li]
+        ldir = gather_rows(scene.dir_dir, li)
+        lcol = gather_rows(scene.dir_color, li)
+        lemit = gather_rows(scene.dir_emission, li)
+        lcos = gather_rows(scene.dir_cos, li)
 
         # sampleDirection (cuda_direct_light.cuh:50-67)
         would_hit = dot(next_dir, -ldir) > lcos
@@ -328,9 +330,9 @@ def bounce_step(scene: DeviceScene, cam: DeviceCamera, cfg: RenderConfig,
     far = jnp.where(depth0 == 0, cam.near_far[1], state.far)
 
     med = jnp.clip(state.medium, 0, scene.n_materials - 1)
-    med_color = scene.mat_color[med]
-    med_scatter = scene.mat_scattering[med]
-    med_ior = scene.mat_ior[med]
+    med_color = gather_rows(scene.mat_color, med)
+    med_scatter = gather_rows(scene.mat_scattering, med)
+    med_ior = gather_rows(scene.mat_ior, med)
 
     # --- volumetric free flight (cuda_material.cuh:141-159) ---
     scat_dist = -jnp.log(u[:, 0] + 1e-4) / jnp.maximum(med_scatter, 1e-20)
@@ -345,7 +347,7 @@ def bounce_step(scene: DeviceScene, cam: DeviceCamera, cfg: RenderConfig,
     t_final = jnp.where(hit_obj, t, jnp.where(scatter_evt, scat_dist, far_eff))
 
     tri = jnp.maximum(tri_id, 0)
-    surf_mat = jnp.where(hit_obj, scene.tri_mat[tri],
+    surf_mat = jnp.where(hit_obj, gather_rows(scene.tri_mat, tri),
                          jnp.where(scatter_evt, med, WORLD_MATERIAL_ID))
     behind_mat = jnp.where(hit_obj & external, surf_mat,
                            jnp.where(scatter_evt, med,
@@ -353,16 +355,19 @@ def bounce_step(scene: DeviceScene, cam: DeviceCamera, cfg: RenderConfig,
 
     # --- surface frame ---
     b0 = 1.0 - b1 - b2
-    texcrd_hit = (scene.tri_t0[tri] * b0[:, None] + scene.tri_t1[tri] * b1[:, None]
-                  + scene.tri_t2[tri] * b2[:, None])
+    tt0 = gather_rows(scene.tri_t0, tri)
+    tt1 = gather_rows(scene.tri_t1, tri)
+    tt2 = gather_rows(scene.tri_t2, tri)
+    texcrd_hit = tt0 * b0[:, None] + tt1 * b1[:, None] + tt2 * b2[:, None]
     texcrd = jnp.where(hit_obj[:, None], texcrd_hit,
                        jnp.where(scatter_evt[:, None], 0.0, cam_ops.sky_texcrd(d)))
     ext_f = jnp.where(external, 1.0, -1.0)[:, None]
-    e1 = scene.tri_e1[tri]
-    e2 = scene.tri_e2[tri]
+    e1 = gather_rows(scene.tri_e1, tri)
+    e2 = gather_rows(scene.tri_e2, tri)
     flat_n = normalize(cross(e1, e2)) * ext_f
-    vtx_n = normalize(scene.tri_n0[tri] * b0[:, None] + scene.tri_n1[tri] * b1[:, None]
-                      + scene.tri_n2[tri] * b2[:, None])
+    vtx_n = normalize(gather_rows(scene.tri_n0, tri) * b0[:, None]
+                      + gather_rows(scene.tri_n1, tri) * b1[:, None]
+                      + gather_rows(scene.tri_n2, tri) * b2[:, None])
 
     mat = material_fetch(scene, surf_mat, texcrd)
 
@@ -371,8 +376,8 @@ def bounce_step(scene: DeviceScene, cam: DeviceCamera, cfg: RenderConfig,
     if scene.has_maps:
         has_nm = mat.normal_map >= 0
         nm_rgb = tex_ops.fetch_scene(scene, mat.normal_map, texcrd)[:, :3]
-        duv1 = scene.tri_t1[tri] - scene.tri_t0[tri]
-        duv2 = scene.tri_t2[tri] - scene.tri_t0[tri]
+        duv1 = tt1 - tt0
+        duv2 = tt2 - tt0
         f = 1.0 / jnp.where(jnp.abs(duv1[:, 0] * duv2[:, 1] - duv2[:, 0] * duv1[:, 1]) < 1e-12,
                             1e-12, duv1[:, 0] * duv2[:, 1] - duv2[:, 0] * duv1[:, 1])
         tangent = normalize((e1 * duv2[:, 1:2] - e2 * duv1[:, 1:2]) * f[:, None])
@@ -399,11 +404,12 @@ def bounce_step(scene: DeviceScene, cam: DeviceCamera, cfg: RenderConfig,
     new_depth = jnp.where(any_hit, depth0 + 1, PATH_LIMIT)
 
     # --- fresnel / reflectance ---
-    n2 = scene.mat_ior[jnp.clip(behind_mat, 0, scene.n_materials - 1)]
+    n2 = gather_rows(scene.mat_ior, jnp.clip(behind_mat, 0, scene.n_materials - 1))
     fresnel, refr_ratio, refr_b = fresnel_specular_ratio(mapped_normal, d, med_ior, n2)
     reflectance = lerp(fresnel, 1.0, mat.metalness)
 
-    surf_scattering = scene.mat_scattering[jnp.clip(surf_mat, 0, scene.n_materials - 1)]
+    surf_scattering = gather_rows(scene.mat_scattering,
+                                  jnp.clip(surf_mat, 0, scene.n_materials - 1))
     next_dir, tint, refracted = sample_direction(
         d, normal, mapped_normal, mat, surf_scattering, fresnel, reflectance,
         refr_ratio, refr_b, u[:, 1], u[:, 2], u[:, 3])

@@ -36,6 +36,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from ..ops.bvh import build_bvh, triangle_aabbs, FlatBVH
+from ..ops.intersect import triangle_frames
 from ..utils.hostmath import normalize as nrm
 from .material import Material
 from .texture import TextureMap
@@ -60,6 +61,8 @@ class DeviceScene:
     tri_t2: jnp.ndarray
     tri_mat: jnp.ndarray     # [F] i32 global material id
     tri_inst: jnp.ndarray    # [F] i32 instance id (picking)
+    tri_pw: jnp.ndarray      # [3,3F] projection frames (ops/intersect.py)
+    tri_pc: jnp.ndarray      # [3F] projection offsets
 
     # flattened BVH over world-space triangles
     node_min: jnp.ndarray    # [N,3]
@@ -311,6 +314,7 @@ def compile_world(world: World, leaf_size: int = 8) -> DeviceScene:
     tri_t2 = _pad_rows(tri_t2, n_tri_pad, 0.0)
     tri_mat = _pad_rows(tri_mat, n_tri_pad, DEFAULT_MATERIAL_ID)
     tri_inst = _pad_rows(tri_inst, n_tri_pad, -1)
+    tri_pw, tri_pc = triangle_frames(tri_v0, tri_e1, tri_e2)
 
     # ---- lights (padded to >=1 so shapes stay static; counts gate usage) ----
     n_spot = len(world.spot_lights)
@@ -333,6 +337,7 @@ def compile_world(world: World, leaf_size: int = 8) -> DeviceScene:
         tri_n0=jnp.asarray(tri_n0), tri_n1=jnp.asarray(tri_n1), tri_n2=jnp.asarray(tri_n2),
         tri_t0=jnp.asarray(tri_t0), tri_t1=jnp.asarray(tri_t1), tri_t2=jnp.asarray(tri_t2),
         tri_mat=jnp.asarray(tri_mat), tri_inst=jnp.asarray(tri_inst),
+        tri_pw=jnp.asarray(tri_pw), tri_pc=jnp.asarray(tri_pc),
         node_min=jnp.asarray(bvh.node_min), node_max=jnp.asarray(bvh.node_max),
         node_begin=jnp.asarray(bvh.node_begin), node_count=jnp.asarray(bvh.node_count),
         node_axis=jnp.asarray(bvh.node_axis),

@@ -29,6 +29,156 @@ DET_EPS = 1e-7
 BIG = 3.402823466e38
 
 
+# ---------------------------------------------------------------------------
+# unit-triangle projection method (the MXU-native intersector)
+# ---------------------------------------------------------------------------
+#
+# Per triangle, precompute M = inv([e1 e2 n]) (n = e1 x e2) and c = -M v0.
+# A world point p maps to local coords M p + c where (x, y) are the
+# barycentrics (b1, b2) and z vanishes on the triangle plane. For a ray:
+#     o' = M o + c,   d' = M d
+#     t  = -o'_z / d'_z,   b1 = o'_x + t d'_x,   b2 = o'_y + t d'_y
+# so ALL per-(ray, triangle) quantities come from two matmuls
+# [R,3] @ [3, 3F] — pure MXU work — plus fused elementwise on [R,F] tiles.
+# This replaces the cross-product Moller-Trumbore broadcast (which
+# materializes [R,F,3] intermediates the TPU hates); hit (t, b1, b2) are
+# re-derived differentiably afterwards by ``refine_hit``, which keeps the
+# reference's exact MT numerics (cuda_render_parts.cuh:1023-1083) on the
+# gathered winning triangle.
+
+
+def triangle_frames(v0: "np.ndarray", e1, e2):
+    """Host-side precompute of projection frames.
+
+    Returns (w [3, 3F], c [3F]) float32, laid out as the x-rows block, then
+    y-rows, then z-rows, so ``o @ w + c`` yields [R, 3F] = [ox | oy | oz].
+    Degenerate (padded) triangles get w = 0, c = (-1, -1, 1): b1 = -1 keeps
+    them invalid for every ray without producing NaNs.
+    """
+    import numpy as np
+    f = len(v0)
+    if f == 0:
+        return np.zeros((3, 0), np.float32), np.zeros(0, np.float32)
+    n = np.cross(e1, e2)
+    b = np.stack([e1, e2, n], axis=-1)              # [F,3,3] columns
+    det = np.linalg.det(b)
+    ok = np.abs(det) > 1e-30
+    b_safe = np.where(ok[:, None, None], b, np.eye(3, dtype=b.dtype))
+    m = np.linalg.inv(b_safe)                       # rows: b1, b2, z
+    c = -np.einsum("fij,fj->fi", m, v0)
+    m = np.where(ok[:, None, None], m, 0.0)
+    c = np.where(ok[:, None], c, np.array([-1.0, -1.0, 1.0]))
+    w = np.concatenate([m[:, 0, :], m[:, 1, :], m[:, 2, :]], axis=0).T  # [3,3F]
+    cc = np.concatenate([c[:, 0], c[:, 1], c[:, 2]], axis=0)            # [3F]
+    return w.astype(np.float32), cc.astype(np.float32)
+
+
+def _project_terms(origin, direction, w, c):
+    """Matmul projection of rays onto triangle frames.
+
+    origin/direction [R,3]; w [3, 3F]; c [3F]. Returns (t, b1, b2, dz)
+    each [R, F].
+    """
+    f = w.shape[1] // 3
+    # HIGHEST keeps f32 matmul precision on TPU (default bf16 inputs shatter
+    # ray geometry into speckle)
+    hi = jax.lax.Precision.HIGHEST
+    ol = jnp.matmul(origin, w, precision=hi) + c    # [R, 3F]
+    dl = jnp.matmul(direction, w, precision=hi)     # [R, 3F]
+    ox, oy, oz = ol[:, :f], ol[:, f:2 * f], ol[:, 2 * f:]
+    dx, dy, dz = dl[:, :f], dl[:, f:2 * f], dl[:, 2 * f:]
+    dz = dz + jnp.where(jnp.abs(dz) < DET_EPS, DET_EPS, 0.0)
+    t = -oz / dz
+    b1 = ox + t * dx
+    b2 = oy + t * dy
+    return t, b1, b2, dz
+
+
+@partial(jax.jit, static_argnames=("chunk",))
+def project_closest(origin, direction, near, far, tri_w, tri_c, chunk: int = 512):
+    """Closest hit of rays [R,3] against all triangle frames (see above).
+
+    Returns (t [R], tri_id [R] i32, -1 = miss). Barycentrics/orientation are
+    recomputed by the caller via ``refine_hit`` on the winning id.
+    """
+    r = origin.shape[0]
+    f = tri_w.shape[1] // 3
+    n_chunks = -(-f // chunk)
+    fp = n_chunks * chunk
+    # pad to a chunk multiple with never-hit frames (w = 0, c = (-1,-1,1))
+    w_all = jnp.pad(tri_w.reshape(3, 3, f), ((0, 0), (0, 0), (0, fp - f)))
+    c_all = jnp.pad(tri_c.reshape(3, f), ((0, 0), (0, fp - f)))
+    c_all = c_all.at[0, f:].set(-1.0).at[1, f:].set(-1.0).at[2, f:].set(1.0)
+
+    def block(i0, best_t, best_id):
+        w = jax.lax.dynamic_slice_in_dim(w_all, i0, chunk, 2).reshape(3, 3 * chunk)
+        c = jax.lax.dynamic_slice_in_dim(c_all, i0, chunk, 1).reshape(3 * chunk)
+        t, b1, b2, _ = _project_terms(origin, direction, w, c)
+        valid = ((b1 >= 0.0) & (b1 <= 1.0) & (b2 >= 0.0) & (b1 + b2 <= 1.0)
+                 & (t > near[:, None]) & (t < best_t[:, None]))
+        t = jnp.where(valid, t, BIG)
+        tk = jnp.min(t, axis=1)
+        k = jnp.argmin(t, axis=1).astype(jnp.int32)
+        upd = tk < best_t
+        best_id = jnp.where(upd, i0 + k, best_id)
+        best_t = jnp.where(upd, tk, best_t)
+        return best_t, best_id
+
+    best_t = jnp.minimum(far, BIG)
+    best_id = jnp.full(r, -1, jnp.int32)
+    if n_chunks == 1:
+        best_t, best_id = block(0, best_t, best_id)
+    else:
+        def body(carry, i):
+            bt, bi = block(i * chunk, carry[0], carry[1])
+            return (bt, bi), None
+        (best_t, best_id), _ = jax.lax.scan(
+            body, (best_t, best_id), jnp.arange(n_chunks))
+    return best_t, best_id
+
+
+@partial(jax.jit, static_argnames=("chunk",))
+def project_shadow(origin, direction, dist, tri_w, tri_c,
+                   tri_opacity_rgb, tri_opacity_a, chunk: int = 512):
+    """Transmission-filtered shadow test via projection frames (reference
+    anyIntersection semantics, cuda_instance.cuh:92-164): multiply opacity
+    color over every intersection in (0, dist). Returns (rgb [R,3], a [R])."""
+    r = origin.shape[0]
+    f = tri_w.shape[1] // 3
+    n_chunks = -(-f // chunk)
+    fp = n_chunks * chunk
+    w_all = jnp.pad(tri_w.reshape(3, 3, f), ((0, 0), (0, 0), (0, fp - f)))
+    c_all = jnp.pad(tri_c.reshape(3, f), ((0, 0), (0, fp - f)))
+    c_all = c_all.at[0, f:].set(-1.0).at[1, f:].set(-1.0).at[2, f:].set(1.0)
+    rgb_all = jnp.pad(tri_opacity_rgb, ((0, fp - f), (0, 0)), constant_values=1.0)
+    a_all = jnp.pad(tri_opacity_a, (0, fp - f), constant_values=1.0)
+
+    def block(i0, mr, mg, mb, ma):
+        w = jax.lax.dynamic_slice_in_dim(w_all, i0, chunk, 2).reshape(3, 3 * chunk)
+        c = jax.lax.dynamic_slice_in_dim(c_all, i0, chunk, 1).reshape(3 * chunk)
+        rgb = jax.lax.dynamic_slice_in_dim(rgb_all, i0, chunk, 0)
+        a = jax.lax.dynamic_slice_in_dim(a_all, i0, chunk, 0)
+        t, b1, b2, _ = _project_terms(origin, direction, w, c)
+        valid = ((b1 >= 0.0) & (b1 <= 1.0) & (b2 >= 0.0) & (b1 + b2 <= 1.0)
+                 & (t > 0.0) & (t < dist[:, None]))
+        mr = mr * jnp.prod(jnp.where(valid, rgb[None, :, 0], 1.0), axis=1)
+        mg = mg * jnp.prod(jnp.where(valid, rgb[None, :, 1], 1.0), axis=1)
+        mb = mb * jnp.prod(jnp.where(valid, rgb[None, :, 2], 1.0), axis=1)
+        ma = ma * jnp.prod(jnp.where(valid, a[None, :], 1.0), axis=1)
+        return mr, mg, mb, ma
+
+    ones = jnp.ones(r)
+    mr = mg = mb = ma = ones
+    if n_chunks == 1:
+        mr, mg, mb, ma = block(0, mr, mg, mb, ma)
+    else:
+        def body(carry, i):
+            return block(i * chunk, *carry), None
+        (mr, mg, mb, ma), _ = jax.lax.scan(
+            body, (mr, mg, mb, ma), jnp.arange(n_chunks))
+    return jnp.stack([mr, mg, mb], axis=1), ma
+
+
 def _mt_core(origin, direction, v0, e1, e2):
     """Moller-Trumbore terms for rays [R,1,3] against triangles [1,T,3].
 
@@ -146,10 +296,11 @@ def refine_hit(origin, direction, tri_id, tri_v0, tri_e1, tri_e2):
     reruns Moller-Trumbore — gradients flow to ray and triangle parameters
     while the discrete hit id stays fixed (path-replay backprop).
     """
+    from .gather import gather_rows
     idx = jnp.maximum(tri_id, 0)
-    v0 = tri_v0[idx]
-    e1 = tri_e1[idx]
-    e2 = tri_e2[idx]
+    v0 = gather_rows(tri_v0, idx)
+    e1 = gather_rows(tri_e1, idx)
+    e2 = gather_rows(tri_e2, idx)
     pvec = cross(direction, e2)
     det = dot(e1, pvec)
     det = det + jnp.where(jnp.abs(det) < DET_EPS, DET_EPS, 0.0)

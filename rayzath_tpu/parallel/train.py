@@ -1,0 +1,53 @@
+"""Differentiable (inverse-rendering) training step.
+
+The new-capability analog of "training" for a renderer (SURVEY.md §7.1): render
+with the current scene parameters, compare against a target image, and descend
+on material properties / texture atlases. Gradients flow through the wavefront
+integrator (discrete hit ids are stop-gradient; hit coordinates are re-derived
+differentiably — engine/integrator.py). Under a sharded wavefront
+(parallel.mesh), GSPMD inserts the cross-chip psum for the parameter gradients
+automatically: per-ray adjoints reduce over the 'rays' axis into the
+replicated parameter tables.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..engine.integrator import render_steps
+from ..engine.state import RenderState
+
+# Scene leaves that receive gradients. ior/scattering are excluded by default:
+# their forward paths branch on total internal reflection / free-flight
+# comparisons where subgradients are ill-defined.
+DIFF_PARAMS = ("mat_color", "mat_metalness", "mat_roughness", "mat_emission",
+               "color_atlas", "scalar_atlas", "spot_emission", "dir_emission")
+
+
+def image_loss(scene, cam, cfg, state: RenderState, key, target, n_steps: int):
+    """MSE between the mean accumulated radiance and a target HDR image."""
+    st = render_steps(scene, cam, cfg, state, key, n_steps)
+    spp = jnp.maximum(st.accum[..., 3:4], 1.0)
+    img = st.accum[..., :3] / spp
+    return jnp.mean(jnp.square(img - target)), st
+
+
+@partial(jax.jit, static_argnames=("cfg", "n_steps"))
+def training_step(scene, cam, cfg, state: RenderState, key, target,
+                  lr, n_steps: int):
+    """One SGD step on the differentiable scene parameters.
+
+    Returns (updated scene, post-render state, scalar loss). ``state`` should
+    be a fresh init_state each step (paths restart) unless continuing a
+    progressive estimate on purpose.
+    """
+    params = {k: getattr(scene, k) for k in DIFF_PARAMS}
+
+    def loss_fn(p):
+        return image_loss(scene.replace(**p), cam, cfg, state, key, target, n_steps)
+
+    (loss, st), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    new_params = {k: params[k] - lr * grads[k] for k in params}
+    return scene.replace(**new_params), st, loss

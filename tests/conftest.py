@@ -10,3 +10,9 @@ _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+# The axon TPU plugin ignores JAX_PLATFORMS; the config update is what
+# actually keeps tests off the real chip (and avoids its process lock).
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
