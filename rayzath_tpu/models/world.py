@@ -150,6 +150,15 @@ class World:
                   self.instances, self.groups):
             c.clear()
 
+    # -- scene IO (reference World::loader()/saver(), world.hpp) ----------------
+    def load_scene(self, path: str):
+        from ..io.loader import load_scene
+        return load_scene(self, path)
+
+    def save_scene(self, path: str) -> None:
+        from ..io.loader import save_scene
+        save_scene(self, path)
+
     # -- stats ------------------------------------------------------------------
     def triangle_count(self) -> int:
         total = 0
