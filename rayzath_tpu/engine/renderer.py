@@ -50,7 +50,7 @@ class CameraView:
 
 class Renderer:
     def __init__(self, world: World, config: Optional[RenderConfig] = None,
-                 seed: int = 0):
+                 seed: int = 0, device=None):
         self.world = world
         self.config = config or RenderConfig()
         self.key = jax.random.key(seed)
@@ -58,6 +58,9 @@ class Renderer:
         self._scene_version = -1
         self.views: Dict[int, CameraView] = {}
         self.time_table = TimeTable()
+        # optional device pin (e.g. jax.devices("cpu")[0] for the CPU engine
+        # of the headless runner); None = JAX default placement
+        self.device = device
 
     # -- scene mirroring ------------------------------------------------------
     def update_scene(self) -> DeviceScene:
@@ -92,8 +95,13 @@ class Renderer:
         cameras = [camera] if camera is not None else [
             c for c in self.world.cameras if c.enabled]
         n = rpp if rpp is not None else self.config.tracing.rpp
+        if self.device is not None:
+            scene = jax.device_put(scene, self.device)
         for cam in cameras:
             cv = self.view(cam)
+            if self.device is not None:
+                cv.state = jax.device_put(cv.state, self.device)
+                cv.device_camera = jax.device_put(cv.device_camera, self.device)
             t0 = time.perf_counter()
             cv.state = render_steps(scene, cv.device_camera, self.config,
                                     cv.state, self.key, n)
