@@ -155,6 +155,11 @@ def brdf_eval(d_in, mapped_normal, surface_scattering, roughness, alpha_op,
     ndf = (roughness + 1e-5) / (b * b)
 
     def att(c):
+        # clamp to >= 0 so the denominator can't cross zero for backfacing
+        # directions: the result is masked below, but an inf/NaN in the
+        # unselected branch still poisons gradients (0 * inf = NaN in the
+        # where() backward pass)
+        c = jnp.maximum(c, 0.0)
         return c / (c * (1.0 - roughness) + roughness + 1e-20)
 
     attenuation = att(n_dot_i) * att(n_dot_o)
@@ -393,9 +398,12 @@ def bounce_step(scene: DeviceScene, cam: DeviceCamera, cfg: RenderConfig,
     mapped_normal = jnp.where(hit_obj[:, None], mapped, d)
 
     # --- Beer's law (cuda_render_kernel.cu:162-176) ---
+    # base floored at 1e-6, not 0: d/dx x^t is infinite at x = 0 for t < 1,
+    # and a fully-opaque medium (alpha = 1) would poison every gradient;
+    # 1e-6^t is numerically 0 for any scene-scale distance
     med_alpha_op = 1.0 - med_color[:, 3]
     throughput = (state.throughput * med_color[:, :3]
-                  * jnp.power(jnp.maximum(med_alpha_op, 0.0), t_final)[:, None])
+                  * jnp.power(jnp.maximum(med_alpha_op, 1e-6), t_final)[:, None])
 
     # --- emissive contribution ---
     contrib = jnp.where((mat.emission > 0.0)[:, None],

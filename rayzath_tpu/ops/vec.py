@@ -68,11 +68,16 @@ def cosine_sample_hemisphere(r1, r2, vn):
 
 
 def sample_sphere(r1, r2, vn):
-    """Uniform sphere sample with pole at vn (reference cuda_render_parts.cuh:1285-1301)."""
+    """Uniform sphere sample with pole at vn (reference cuda_render_parts.cuh:1285-1301).
+
+    The sqrt argument is floored at 1e-12 (not 0): r2 can be a differentiable
+    function of material roughness (glossy sampling), and d/dx sqrt(x) at
+    x = 0 is infinite — roughness-0 materials would poison every gradient.
+    """
     vx, vy = local_frame(vn)
     phi = r1 * TWO_PI
     cos_theta = 1.0 - 2.0 * r2
-    sin_theta = jnp.sqrt(jnp.maximum(1.0 - cos_theta * cos_theta, 0.0))
+    sin_theta = jnp.sqrt(jnp.maximum(1.0 - cos_theta * cos_theta, 1e-12))
     return (vx * (sin_theta * jnp.cos(phi))[..., None]
             + vy * (sin_theta * jnp.sin(phi))[..., None]
             + vn * cos_theta[..., None])

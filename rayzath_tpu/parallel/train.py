@@ -49,5 +49,17 @@ def training_step(scene, cam, cfg, state: RenderState, key, target,
         return image_loss(scene.replace(**p), cam, cfg, state, key, target, n_steps)
 
     (loss, st), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-    new_params = {k: params[k] - lr * grads[k] for k in params}
+    new_params = {k: _project(k, params[k] - lr * grads[k]) for k in params}
     return scene.replace(**new_params), st, loss
+
+
+_UNIT_PARAMS = ("mat_color", "mat_metalness", "mat_roughness", "color_atlas")
+
+
+def _project(name: str, value):
+    """Projected SGD: keep parameters in their physical ranges (a step that
+    leaves them — negative emission, roughness outside [0,1] — produces
+    non-physical radiance and can diverge to NaN)."""
+    if name in _UNIT_PARAMS:
+        return jnp.clip(value, 0.0, 1.0)
+    return jnp.maximum(value, 0.0)
