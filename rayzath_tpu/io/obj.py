@@ -20,6 +20,7 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
+from .. import native
 from ..models.material import Material
 from ..models.mesh import Mesh, NO_INDEX
 from ..models.instance import Instance, Group, MATERIAL_CAPACITY
@@ -189,8 +190,32 @@ class ParsedMesh:
 def parse_obj(path: str, result: Optional[LoadResult] = None
               ) -> Tuple[List[ParsedMesh], List[str]]:
     """Parse an .obj into meshes + the set of mtllib paths (reference
-    OBJLoader::parseOBJ semantics, see module docstring)."""
+    OBJLoader::parseOBJ semantics, see module docstring).
+
+    Dispatches to the native C++ parser (rayzath_tpu/native/src/obj.cpp) when
+    available; this Python implementation is the fallback and behavioral spec.
+    """
     result = result if result is not None else LoadResult()
+    parsed_native = native.obj_parse(path) if os.path.exists(path) else None
+    if parsed_native is not None:
+        nmeshes, mtllibs, log = parsed_native
+        for level, text in log:
+            (result.log_message, result.log_warning,
+             result.log_error)[level](text)
+        out: List[ParsedMesh] = []
+        for nm in nmeshes:
+            mesh = Mesh(name=nm.name, vertices=nm.vertices, texcrds=nm.texcrds,
+                        normals=nm.normals, tri_v=nm.tri_v, tri_t=nm.tri_t,
+                        tri_n=nm.tri_n, tri_mat=nm.tri_m)
+            pm = ParsedMesh(mesh)
+            pm.material_slots = {name: i for i, name in enumerate(nm.slot_names)}
+            out.append(pm)
+        return out, mtllibs
+    return _parse_obj_py(path, result)
+
+
+def _parse_obj_py(path: str, result: LoadResult
+                  ) -> Tuple[List[ParsedMesh], List[str]]:
     vertices: List[List[float]] = []
     texcrds: List[List[float]] = []
     normals: List[List[float]] = []

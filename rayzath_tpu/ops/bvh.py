@@ -15,14 +15,17 @@ leaf stores a [begin, count) range into the reordered primitive array. ``count =
 marks an inner node. The TPU traversal (ops/traverse.py) consumes these arrays
 directly; primitives are reordered into leaf order so leaf ranges are contiguous.
 
-A C++ builder with identical output lives in rayzath_tpu/native (used when built;
-this NumPy implementation is the always-available fallback and the test oracle).
+A C++ builder with identical output lives in rayzath_tpu/native (compiled on
+first use; ``build_bvh`` prefers it). This NumPy implementation is the
+always-available fallback and the test oracle.
 """
 from __future__ import annotations
 
 from dataclasses import dataclass
 
 import numpy as np
+
+from .. import native
 
 MAX_DEPTH = 31
 
@@ -43,7 +46,23 @@ class FlatBVH:
 
 def build_bvh(prim_min: np.ndarray, prim_max: np.ndarray,
               leaf_size: int = 8, max_depth: int = MAX_DEPTH) -> FlatBVH:
-    """Build a flattened binary BVH over primitives given per-primitive AABBs."""
+    """Build a flattened binary BVH over primitives given per-primitive AABBs.
+
+    Uses the native C++ builder when available, else the NumPy fallback."""
+    out = native.bvh_build(np.asarray(prim_min, np.float32),
+                           np.asarray(prim_max, np.float32),
+                           leaf_size, max_depth)
+    if out is not None:
+        bvh = FlatBVH(*out)
+        if len(prim_min) == 0:
+            bvh.order = np.zeros(0, np.int32)
+        return bvh
+    return build_bvh_numpy(prim_min, prim_max, leaf_size, max_depth)
+
+
+def build_bvh_numpy(prim_min: np.ndarray, prim_max: np.ndarray,
+                    leaf_size: int = 8, max_depth: int = MAX_DEPTH) -> FlatBVH:
+    """Pure-NumPy reference implementation of :func:`build_bvh`."""
     n = len(prim_min)
     prim_min = np.asarray(prim_min, np.float32)
     prim_max = np.asarray(prim_max, np.float32)
