@@ -20,6 +20,7 @@ from ..models.device_scene import (DeviceScene, DeviceCamera, compile_world,
 from ..models.world import World
 from ..utils.timing import TimeTable
 from ..ops.tonemap import final_color, to_u8
+from ..ops.reproject import primary_hits, reproject_accum
 from .config import RenderConfig
 from .integrator import render_steps, ray_cast
 from .state import RenderState, init_state, save_state, load_state
@@ -36,11 +37,21 @@ class CameraView:
         self.camera_version = -1
         self.ray_count = 0       # rays traced (W*H per bounce pass, as in reference)
         self.pass_count = 0      # bounce passes executed
+        # (prev DeviceCamera, prev accum, prev depth) captured on camera move,
+        # consumed by the renderer's reprojection pass
+        self.pending_reprojection = None
 
     def ensure(self):
         if (self.state is None or self.camera_version != self.camera.version
                 or self.state.width != self.camera.width
                 or self.state.height != self.camera.height):
+            if (self.state is not None
+                    and self.state.width == self.camera.width
+                    and self.state.height == self.camera.height
+                    and self.camera.temporal_blend > 0.0):
+                self.pending_reprojection = (self.device_camera,
+                                             self.state.accum,
+                                             self.state.depth_buf)
             self.device_camera = compile_camera(self.camera)
             self.state = init_state(self.camera.width, self.camera.height)
             self.camera_version = self.camera.version
@@ -76,6 +87,7 @@ class Renderer:
                     view.state = init_state(view.camera.width, view.camera.height)
                     view.ray_count = 0
                     view.pass_count = 0
+                    view.pending_reprojection = None  # stale: scene changed
             self.time_table.update("update world")
         return self.scene
 
@@ -102,6 +114,19 @@ class Renderer:
             if self.device is not None:
                 cv.state = jax.device_put(cv.state, self.device)
                 cv.device_camera = jax.device_put(cv.device_camera, self.device)
+            if cv.pending_reprojection is not None:
+                # temporal reuse across the camera move (reference
+                # spacialReprojection, cuda_engine_renderer.cu:139)
+                prev_cam, prev_accum, prev_depth = cv.pending_reprojection
+                cv.pending_reprojection = None
+                t0 = time.perf_counter()
+                depth, space = primary_hits(scene, cv.device_camera, self.config)
+                accum = reproject_accum(space, prev_cam, prev_accum, prev_depth,
+                                        cam.temporal_blend)
+                cv.state = cv.state.replace(accum=accum, depth_buf=depth,
+                                            space_buf=space)
+                self.time_table.set("temporal reproject",
+                                    (time.perf_counter() - t0) * 1e3)
             t0 = time.perf_counter()
             cv.state = render_steps(scene, cv.device_camera, self.config,
                                     cv.state, self.key, n)
