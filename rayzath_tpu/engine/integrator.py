@@ -108,8 +108,7 @@ def closest_hit(scene: DeviceScene, cfg: RenderConfig, o, d, near, far):
                                  chunk=min(cfg.chunk, scene.tri_v0.shape[0]))
     else:
         hit = bvh_closest(o, d, near, far,
-                          scene.node_min, scene.node_max, scene.node_begin,
-                          scene.node_count, scene.node_axis,
+                          scene.aabb_links, scene.node_begin, scene.node_count,
                           scene.tri_v0, scene.tri_e1, scene.tri_e2,
                           leaf_size=cfg.bvh_leaf_size)
         t, tid = hit.t, hit.tri_id
@@ -133,8 +132,7 @@ def shadow_test(scene: DeviceScene, cfg: RenderConfig, o, d, dist):
                               op_rgb, op_a,
                               chunk=min(cfg.chunk, scene.tri_v0.shape[0]))
     return bvh_shadow(o, d, dist,
-                      scene.node_min, scene.node_max, scene.node_begin,
-                      scene.node_count, scene.node_axis,
+                      scene.aabb_links, scene.node_begin, scene.node_count,
                       scene.tri_v0, scene.tri_e1, scene.tri_e2, op_rgb, op_a,
                       leaf_size=cfg.bvh_leaf_size)
 

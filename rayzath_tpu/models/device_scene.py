@@ -35,7 +35,8 @@ import numpy as np
 import jax.numpy as jnp
 from flax import struct
 
-from ..ops.bvh import build_bvh, triangle_aabbs, FlatBVH
+from ..ops.bvh import build_bvh, compute_skip_links, triangle_aabbs, FlatBVH
+from ..ops.traverse import build_aabb_links
 from ..ops.intersect import triangle_frames
 from ..utils.hostmath import normalize as nrm
 from .material import Material
@@ -64,12 +65,12 @@ class DeviceScene:
     tri_pw: jnp.ndarray      # [3,3F] projection frames (ops/intersect.py)
     tri_pc: jnp.ndarray      # [3F] projection offsets
 
-    # flattened BVH over world-space triangles
-    node_min: jnp.ndarray    # [N,3]
-    node_max: jnp.ndarray    # [N,3]
-    node_begin: jnp.ndarray  # [N] i32
-    node_count: jnp.ndarray  # [N] i32 (0 = inner)
-    node_axis: jnp.ndarray   # [N] i32
+    # flattened BVH over world-space triangles, as the stackless traversal
+    # tables of ops/traverse.py: aabb_links [8, 8N] (per-octant AABB + skip
+    # links) plus leaf ranges for the in-jit leaf-block table
+    aabb_links: jnp.ndarray   # [8, 8N] f32
+    node_begin: jnp.ndarray   # [N] i32
+    node_count: jnp.ndarray   # [N] i32 (0 = inner)
 
     # materials SoA (0=world/sky, 1=default)
     mat_color: jnp.ndarray       # [M,4] rgba (alpha: 1=opaque)
@@ -300,6 +301,10 @@ def compile_world(world: World, leaf_size: int = 8) -> DeviceScene:
         tri_mat, tri_inst = tri_mat[o], tri_inst[o]
     else:
         bvh = build_bvh(np.zeros((0, 3)), np.zeros((0, 3)))
+    first8, skip8 = compute_skip_links(bvh.node_begin, bvh.node_count,
+                                       bvh.node_axis)
+    aabb_links = build_aabb_links(bvh.node_min, bvh.node_max, bvh.node_count,
+                                  first8, skip8)
 
     # pad triangles so the padded tail never hits (v0 far away, degenerate edges)
     n_tri_pad = max(8, -(-n_tri // 8) * 8)
@@ -338,9 +343,8 @@ def compile_world(world: World, leaf_size: int = 8) -> DeviceScene:
         tri_t0=jnp.asarray(tri_t0), tri_t1=jnp.asarray(tri_t1), tri_t2=jnp.asarray(tri_t2),
         tri_mat=jnp.asarray(tri_mat), tri_inst=jnp.asarray(tri_inst),
         tri_pw=jnp.asarray(tri_pw), tri_pc=jnp.asarray(tri_pc),
-        node_min=jnp.asarray(bvh.node_min), node_max=jnp.asarray(bvh.node_max),
+        aabb_links=jnp.asarray(aabb_links),
         node_begin=jnp.asarray(bvh.node_begin), node_count=jnp.asarray(bvh.node_count),
-        node_axis=jnp.asarray(bvh.node_axis),
         mat_color=jnp.asarray(mat_color), mat_metalness=jnp.asarray(mat_metalness),
         mat_roughness=jnp.asarray(mat_roughness), mat_emission=jnp.asarray(mat_emission),
         mat_ior=jnp.asarray(mat_ior), mat_scattering=jnp.asarray(mat_scattering),

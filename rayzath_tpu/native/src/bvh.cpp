@@ -175,4 +175,29 @@ int rz_bvh_build(const float* prim_min, const float* prim_max, int n,
     return n_nodes;
 }
 
+// Per-octant stackless traversal tables (see ops/bvh.py compute_skip_links):
+// out_first/out_skip are [8*n] octant-major. Parents precede children in the
+// builder's allocation order, so one forward sweep per octant suffices.
+int rz_bvh_skip_links(const int32_t* node_begin, const int32_t* node_count,
+                      const int32_t* node_axis, int n,
+                      int32_t* out_first, int32_t* out_skip) {
+    if (n < 0) return -1;
+    for (int o = 0; o < 8; ++o) {
+        int32_t* first = out_first + static_cast<size_t>(o) * n;
+        int32_t* skip = out_skip + static_cast<size_t>(o) * n;
+        for (int i = 0; i < n; ++i) first[i] = skip[i] = n;
+        for (int i = 0; i < n; ++i) {
+            if (node_count[i] == 0) {
+                const int bit = (o >> node_axis[i]) & 1;
+                const int32_t near_c = node_begin[i] + bit;
+                const int32_t far_c = node_begin[i] + 1 - bit;
+                first[i] = near_c;
+                skip[near_c] = far_c;
+                skip[far_c] = skip[i];
+            }
+        }
+    }
+    return 0;
+}
+
 }  // extern "C"

@@ -1,9 +1,10 @@
 import numpy as np
 import jax.numpy as jnp
 
-from rayzath_tpu.ops.bvh import build_bvh, triangle_aabbs, validate_bvh
+from rayzath_tpu.ops.bvh import (build_bvh, compute_skip_links, triangle_aabbs,
+                                 validate_bvh)
 from rayzath_tpu.ops.intersect import brute_force_closest, brute_force_shadow, refine_hit
-from rayzath_tpu.ops.traverse import bvh_closest, bvh_shadow
+from rayzath_tpu.ops.traverse import bvh_closest, bvh_shadow, build_aabb_links
 from rayzath_tpu.models.mesh import generate_uv_sphere, generate_cube
 
 
@@ -47,10 +48,14 @@ def test_traversal_matches_brute_force():
     t_b, id_b, b1_b, b2_b, ext_b = brute_force_closest(
         jnp.asarray(ro), jnp.asarray(rd), jnp.asarray(near), jnp.asarray(far),
         jnp.asarray(v0), jnp.asarray(e1), jnp.asarray(e2), chunk=64)
+    first8, skip8 = compute_skip_links(bvh.node_begin, bvh.node_count,
+                                       bvh.node_axis)
+    links = build_aabb_links(bvh.node_min, bvh.node_max, bvh.node_count,
+                             first8, skip8)
     hit = bvh_closest(
         jnp.asarray(ro), jnp.asarray(rd), jnp.asarray(near), jnp.asarray(far),
-        jnp.asarray(bvh.node_min), jnp.asarray(bvh.node_max),
-        jnp.asarray(bvh.node_begin), jnp.asarray(bvh.node_count), jnp.asarray(bvh.node_axis),
+        jnp.asarray(links),
+        jnp.asarray(bvh.node_begin), jnp.asarray(bvh.node_count),
         jnp.asarray(v0), jnp.asarray(e1), jnp.asarray(e2), leaf_size=8)
 
     miss_b = np.asarray(id_b) < 0
@@ -80,10 +85,14 @@ def test_shadow_matches_brute_force():
         jnp.asarray(ro), jnp.asarray(rd), jnp.asarray(dist),
         jnp.asarray(v0), jnp.asarray(e1), jnp.asarray(e2),
         jnp.asarray(orgb), jnp.asarray(oa), chunk=64)
+    first8, skip8 = compute_skip_links(bvh.node_begin, bvh.node_count,
+                                       bvh.node_axis)
+    links = build_aabb_links(bvh.node_min, bvh.node_max, bvh.node_count,
+                             first8, skip8)
     rgb_t, a_t = bvh_shadow(
         jnp.asarray(ro), jnp.asarray(rd), jnp.asarray(dist),
-        jnp.asarray(bvh.node_min), jnp.asarray(bvh.node_max),
-        jnp.asarray(bvh.node_begin), jnp.asarray(bvh.node_count), jnp.asarray(bvh.node_axis),
+        jnp.asarray(links),
+        jnp.asarray(bvh.node_begin), jnp.asarray(bvh.node_count),
         jnp.asarray(v0), jnp.asarray(e1), jnp.asarray(e2),
         jnp.asarray(orgb), jnp.asarray(oa), leaf_size=8)
 
