@@ -157,6 +157,20 @@ class Renderer:
         cam = camera or next(c for c in self.world.cameras if c.enabled)
         return np.asarray(self.view(cam).state.depth_buf)
 
+    def focus(self, camera, x: int, y: int) -> float:
+        """Auto-focus: set the camera's focal distance from the rendered depth
+        at a pixel (reference Camera::focus, camera.cpp:80-88). Returns the
+        new focal distance."""
+        cv = self.view(camera)
+        xi = min(max(int(x), 0), camera.width - 1)
+        yi = min(max(int(y), 0), camera.height - 1)
+        dist = float(np.asarray(cv.state.depth_buf[yi, xi]))
+        camera.focal_point = (xi, yi)
+        if dist > 0.0:
+            camera.focal_distance = dist
+            camera.touch()
+        return camera.focal_distance
+
     def pick(self, camera, x: int, y: int):
         """Object picking at a pixel; returns (instance_idx, material_idx) or
         (-1, -1) (reference rayCast, cuda_render_kernel.cu:130-144)."""

@@ -38,6 +38,7 @@ class Camera:
         self.exposure_time = float(exposure_time)
         self.temporal_blend = float(temporal_blend)
         self.enabled = bool(enabled)
+        self.focal_point = (self.width // 2, self.height // 2)  # reference m_focal_point
         self.version = 0
 
     @property
