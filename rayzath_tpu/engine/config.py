@@ -29,8 +29,8 @@ class RenderConfig:
     # Scenes with <= this many triangles skip the BVH for the dense MXU
     # projection test. Measured crossover on one TPU chip: the dense path runs
     # ~1.3 Mrays/s at 9k tris (cost linear in F); the stackless BVH traversal
-    # runs ~0.7 Mrays/s nearly independent of F. Break-even ~16k.
-    brute_force_threshold: int = 16384
+    # with compaction runs ~1.65 Mrays/s nearly independent of F.
+    brute_force_threshold: int = 8192
     bvh_leaf_size: int = 8
     chunk: int = 512                   # brute-force triangle tile size
 

@@ -104,6 +104,21 @@ def _split3(a):
     return a[:, 0], a[:, 1], a[:, 2]
 
 
+def _compact_slots(active, cap: int):
+    """Indices of (up to ``cap``) active rays, via cumsum scatter (no sort).
+
+    Requires ``sum(active) <= cap``. Unused slots fall back to ray 0 — a
+    benign duplicate: the straggler phase recomputes ray 0's result and the
+    scatter-back writes the same value twice.
+    """
+    r = active.shape[0]
+    pos = jnp.cumsum(active.astype(jnp.int32)) - 1
+    store = jnp.where(active, pos, cap)                      # inactive -> dump
+    slots = jnp.zeros(cap + 1, jnp.int32).at[store].set(
+        jnp.arange(r, dtype=jnp.int32), mode="drop")
+    return slots[:cap]
+
+
 def _mt_lanes(g2, L, ox, oy, oz, dx, dy, dz):
     """Lane-parallel Moller-Trumbore over the L leaf triangles (reference
     numerics, cuda_render_parts.cuh:1023-1083). Inputs are [R,1] ray columns
@@ -148,64 +163,85 @@ def bvh_closest(origin, direction, near, far,
     table = _leaf_table(node_begin, node_count, L, cols)
     ID = 9  # id group index
 
-    ox, oy, oz = _split3(origin)
-    dx, dy, dz = _split3(direction)
-    ix, iy, iz = _inv1(dx), _inv1(dy), _inv1(dz)
-    oct_off = _octant(dx, dy, dz) * N
-    ox1, oy1, oz1 = ox[:, None], oy[:, None], oz[:, None]
-    dx1, dy1, dz1 = dx[:, None], dy[:, None], dz[:, None]
+    def phase(origin, direction, near, far, node0, t0, id0, stop_count: int):
+        """Run the traversal loop until <= stop_count rays remain active."""
+        ox, oy, oz = _split3(origin)
+        dx, dy, dz = _split3(direction)
+        ix, iy, iz = _inv1(dx), _inv1(dy), _inv1(dz)
+        oct_off = _octant(dx, dy, dz) * N
+        ox1, oy1, oz1 = ox[:, None], oy[:, None], oz[:, None]
+        dx1, dy1, dz1 = dx[:, None], dy[:, None], dz[:, None]
 
-    def cond(state):
-        it, node, *_ = state
-        return jnp.logical_and(jnp.any(node < N), it < N + 1)
+        def cond(state):
+            it, node, *_ = state
+            n_active = jnp.sum((node < N).astype(jnp.int32))
+            return jnp.logical_and(n_active > stop_count, it < N + 1)
 
-    def body(state):
-        it, node, best_t, best_id = state
-        active = node < N
-        nid = jnp.minimum(node, N - 1)
+        def body(state):
+            it, node, best_t, best_id = state
+            active = node < N
+            nid = jnp.minimum(node, N - 1)
 
-        g1 = aabb_links[:, oct_off + nid]          # [8, R]
-        tx1 = (g1[0] - ox) * ix
-        ty1 = (g1[1] - oy) * iy
-        tz1 = (g1[2] - oz) * iz
-        tx2 = (g1[3] - ox) * ix
-        ty2 = (g1[4] - oy) * iy
-        tz2 = (g1[5] - oz) * iz
-        tmin = jnp.maximum(jnp.maximum(jnp.minimum(tx1, tx2),
-                                       jnp.minimum(ty1, ty2)),
-                           jnp.minimum(tz1, tz2))
-        tmax = jnp.minimum(jnp.minimum(jnp.maximum(tx1, tx2),
-                                       jnp.maximum(ty1, ty2)),
-                           jnp.maximum(tz1, tz2))
-        hit_box = (active & (tmax >= near) & (tmin <= tmax)
-                   & (tmin <= jnp.minimum(far, best_t)))
-        first = g1[6]
-        skip = g1[7]
-        is_leaf = first < 0.0
+            g1 = aabb_links[:, oct_off + nid]          # [8, R]
+            tx1 = (g1[0] - ox) * ix
+            ty1 = (g1[1] - oy) * iy
+            tz1 = (g1[2] - oz) * iz
+            tx2 = (g1[3] - ox) * ix
+            ty2 = (g1[4] - oy) * iy
+            tz2 = (g1[5] - oz) * iz
+            tmin = jnp.maximum(jnp.maximum(jnp.minimum(tx1, tx2),
+                                           jnp.minimum(ty1, ty2)),
+                               jnp.minimum(tz1, tz2))
+            tmax = jnp.minimum(jnp.minimum(jnp.maximum(tx1, tx2),
+                                           jnp.maximum(ty1, ty2)),
+                               jnp.maximum(tz1, tz2))
+            hit_box = (active & (tmax >= near) & (tmin <= tmax)
+                       & (tmin <= jnp.minimum(far, best_t)))
+            first = g1[6]
+            skip = g1[7]
+            is_leaf = first < 0.0
 
-        # ---- leaf: lane-parallel MT over the whole block ----
-        g2 = table[nid]                            # [R, 10L]
-        ids = g2[:, ID * L:(ID + 1) * L]
-        t, b1, b2, det, bary_ok = _mt_lanes(g2, L, ox1, oy1, oz1,
-                                            dx1, dy1, dz1)
-        valid = ((hit_box & is_leaf)[:, None] & bary_ok & (ids >= 0.0)
-                 & (t > near[:, None]) & (t < best_t[:, None]))
-        t_cand = jnp.where(valid, t, BIG)
-        leaf_t = jnp.min(t_cand, axis=1)
-        win = t_cand <= leaf_t[:, None]
-        leaf_id = jnp.max(jnp.where(win & valid, ids, -1.0), axis=1)
-        better = leaf_id >= 0.0
-        best_t = jnp.where(better, leaf_t, best_t)
-        best_id = jnp.where(better, leaf_id.astype(jnp.int32), best_id)
+            # ---- leaf: lane-parallel MT over the whole block ----
+            g2 = table[nid]                            # [R, 10L]
+            ids = g2[:, ID * L:(ID + 1) * L]
+            t, b1, b2, det, bary_ok = _mt_lanes(g2, L, ox1, oy1, oz1,
+                                                dx1, dy1, dz1)
+            valid = ((hit_box & is_leaf)[:, None] & bary_ok & (ids >= 0.0)
+                     & (t > near[:, None]) & (t < best_t[:, None]))
+            t_cand = jnp.where(valid, t, BIG)
+            leaf_t = jnp.min(t_cand, axis=1)
+            win = t_cand <= leaf_t[:, None]
+            leaf_id = jnp.max(jnp.where(win & valid, ids, -1.0), axis=1)
+            better = leaf_id >= 0.0
+            best_t = jnp.where(better, leaf_t, best_t)
+            best_id = jnp.where(better, leaf_id.astype(jnp.int32), best_id)
 
-        # ---- step ----
-        nxt = jnp.where(hit_box & ~is_leaf, first, skip).astype(jnp.int32)
-        node = jnp.where(active, nxt, node)
-        return it + 1, node, best_t, best_id
+            # ---- step ----
+            nxt = jnp.where(hit_box & ~is_leaf, first, skip).astype(jnp.int32)
+            node = jnp.where(active, nxt, node)
+            return it + 1, node, best_t, best_id
 
-    state0 = (jnp.int32(0), jnp.zeros(R, jnp.int32),
-              jnp.minimum(far, BIG), jnp.full(R, -1, jnp.int32))
-    _, _, t, tid = jax.lax.while_loop(cond, body, state0)
+        state0 = (jnp.int32(0), node0, t0, id0)
+        _, node, t, tid = jax.lax.while_loop(cond, body, state0)
+        return node, t, tid
+
+    # compaction ladder: lockstep pays per-iteration cost for ALL rays, so
+    # once <= 1/4 remain active the stragglers are compacted onto
+    # quarter-size arrays and the tail continues there, recursively
+    def run(origin, direction, near, far, node, t, tid):
+        r = origin.shape[0]
+        cap = r // 4
+        if cap < 64:
+            _, t, tid = phase(origin, direction, near, far, node, t, tid, 0)
+            return t, tid
+        node, t, tid = phase(origin, direction, near, far, node, t, tid, cap)
+        slots = _compact_slots(node < N, cap)
+        t2, tid2 = run(origin[slots], direction[slots], near[slots],
+                       far[slots], node[slots], t[slots], tid[slots])
+        return t.at[slots].set(t2), tid.at[slots].set(tid2)
+
+    t, tid = run(origin, direction, near, far, jnp.zeros(R, jnp.int32),
+                 jnp.minimum(far, BIG), jnp.full(R, -1, jnp.int32))
     return Hit(t=t, tri_id=tid)
 
 
@@ -230,60 +266,79 @@ def bvh_shadow(origin, direction, dist,
     table = _leaf_table(node_begin, node_count, L, cols)
     OPR, ID = 9, 13
 
-    ox, oy, oz = _split3(origin)
-    dx, dy, dz = _split3(direction)
-    ix, iy, iz = _inv1(dx), _inv1(dy), _inv1(dz)
-    oct_off = _octant(dx, dy, dz) * N
-    ox1, oy1, oz1 = ox[:, None], oy[:, None], oz[:, None]
-    dx1, dy1, dz1 = dx[:, None], dy[:, None], dz[:, None]
+    def phase(origin, direction, dist, node0, m0, stop_count: int):
+        ox, oy, oz = _split3(origin)
+        dx, dy, dz = _split3(direction)
+        ix, iy, iz = _inv1(dx), _inv1(dy), _inv1(dz)
+        oct_off = _octant(dx, dy, dz) * N
+        ox1, oy1, oz1 = ox[:, None], oy[:, None], oz[:, None]
+        dx1, dy1, dz1 = dx[:, None], dy[:, None], dz[:, None]
 
-    def cond(state):
-        it, node, *_ = state
-        return jnp.logical_and(jnp.any(node < N), it < N + 1)
+        def cond(state):
+            it, node, *_ = state
+            n_active = jnp.sum((node < N).astype(jnp.int32))
+            return jnp.logical_and(n_active > stop_count, it < N + 1)
 
-    def body(state):
-        it, node, mr, mg, mb, ma = state
-        active = (node < N) & (ma >= 1e-4)
-        nid = jnp.minimum(node, N - 1)
+        def body(state):
+            it, node, mr, mg, mb, ma = state
+            active = (node < N) & (ma >= 1e-4)
+            nid = jnp.minimum(node, N - 1)
 
-        g1 = aabb_links[:, oct_off + nid]
-        tx1 = (g1[0] - ox) * ix
-        ty1 = (g1[1] - oy) * iy
-        tz1 = (g1[2] - oz) * iz
-        tx2 = (g1[3] - ox) * ix
-        ty2 = (g1[4] - oy) * iy
-        tz2 = (g1[5] - oz) * iz
-        tmin = jnp.maximum(jnp.maximum(jnp.minimum(tx1, tx2),
-                                       jnp.minimum(ty1, ty2)),
-                           jnp.minimum(tz1, tz2))
-        tmax = jnp.minimum(jnp.minimum(jnp.maximum(tx1, tx2),
-                                       jnp.maximum(ty1, ty2)),
-                           jnp.maximum(tz1, tz2))
-        hit_box = active & (tmax >= 0.0) & (tmin <= tmax) & (tmin <= dist)
-        first = g1[6]
-        skip = g1[7]
-        is_leaf = first < 0.0
+            g1 = aabb_links[:, oct_off + nid]
+            tx1 = (g1[0] - ox) * ix
+            ty1 = (g1[1] - oy) * iy
+            tz1 = (g1[2] - oz) * iz
+            tx2 = (g1[3] - ox) * ix
+            ty2 = (g1[4] - oy) * iy
+            tz2 = (g1[5] - oz) * iz
+            tmin = jnp.maximum(jnp.maximum(jnp.minimum(tx1, tx2),
+                                           jnp.minimum(ty1, ty2)),
+                               jnp.minimum(tz1, tz2))
+            tmax = jnp.minimum(jnp.minimum(jnp.maximum(tx1, tx2),
+                                           jnp.maximum(ty1, ty2)),
+                               jnp.maximum(tz1, tz2))
+            hit_box = active & (tmax >= 0.0) & (tmin <= tmax) & (tmin <= dist)
+            first = g1[6]
+            skip = g1[7]
+            is_leaf = first < 0.0
 
-        g2 = table[nid]
-        ids = g2[:, ID * L:(ID + 1) * L]
-        t, b1, b2, det, bary_ok = _mt_lanes(g2, L, ox1, oy1, oz1,
-                                            dx1, dy1, dz1)
-        valid = ((hit_box & is_leaf)[:, None] & bary_ok & (ids >= 0.0)
-                 & (t > 0.0) & (t < dist[:, None]))
+            g2 = table[nid]
+            ids = g2[:, ID * L:(ID + 1) * L]
+            t, b1, b2, det, bary_ok = _mt_lanes(g2, L, ox1, oy1, oz1,
+                                                dx1, dy1, dz1)
+            valid = ((hit_box & is_leaf)[:, None] & bary_ok & (ids >= 0.0)
+                     & (t > 0.0) & (t < dist[:, None]))
 
-        def grp(f):
-            return g2[:, f * L:(f + 1) * L]
-        mr = mr * jnp.prod(jnp.where(valid, grp(OPR + 0), 1.0), axis=1)
-        mg = mg * jnp.prod(jnp.where(valid, grp(OPR + 1), 1.0), axis=1)
-        mb = mb * jnp.prod(jnp.where(valid, grp(OPR + 2), 1.0), axis=1)
-        ma = ma * jnp.prod(jnp.where(valid, grp(OPR + 3), 1.0), axis=1)
+            def grp(f):
+                return g2[:, f * L:(f + 1) * L]
+            mr = mr * jnp.prod(jnp.where(valid, grp(OPR + 0), 1.0), axis=1)
+            mg = mg * jnp.prod(jnp.where(valid, grp(OPR + 1), 1.0), axis=1)
+            mb = mb * jnp.prod(jnp.where(valid, grp(OPR + 2), 1.0), axis=1)
+            ma = ma * jnp.prod(jnp.where(valid, grp(OPR + 3), 1.0), axis=1)
 
-        nxt = jnp.where(hit_box & ~is_leaf, first, skip).astype(jnp.int32)
-        nxt = jnp.where(ma < 1e-4, N, nxt)   # opaque: finished
-        node = jnp.where(node < N, nxt, node)
-        return it + 1, node, mr, mg, mb, ma
+            nxt = jnp.where(hit_box & ~is_leaf, first, skip).astype(jnp.int32)
+            nxt = jnp.where(ma < 1e-4, N, nxt)   # opaque: finished
+            node = jnp.where(node < N, nxt, node)
+            return it + 1, node, mr, mg, mb, ma
 
-    state0 = (jnp.int32(0), jnp.zeros(R, jnp.int32),
-              jnp.ones(R), jnp.ones(R), jnp.ones(R), jnp.ones(R))
-    _, _, mr, mg, mb, ma = jax.lax.while_loop(cond, body, state0)
+        mr0, mg0, mb0, ma0 = m0
+        state0 = (jnp.int32(0), node0, mr0, mg0, mb0, ma0)
+        _, node, mr, mg, mb, ma = jax.lax.while_loop(cond, body, state0)
+        return node, (mr, mg, mb, ma)
+
+    def run(origin, direction, dist, node, m):
+        r = origin.shape[0]
+        cap = r // 4
+        if cap < 64:
+            _, m = phase(origin, direction, dist, node, m, 0)
+            return m
+        node, m = phase(origin, direction, dist, node, m, cap)
+        slots = _compact_slots(node < N, cap)
+        m2 = run(origin[slots], direction[slots], dist[slots], node[slots],
+                 tuple(x[slots] for x in m))
+        return tuple(x.at[slots].set(y) for x, y in zip(m, m2))
+
+    ones = jnp.ones(R)
+    mr, mg, mb, ma = run(origin, direction, dist, jnp.zeros(R, jnp.int32),
+                         (ones, ones, ones, ones))
     return jnp.stack([mr, mg, mb], axis=1), ma
