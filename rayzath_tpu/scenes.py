@@ -146,9 +146,88 @@ def glass_and_fog(width: int = 512, height: int = 512) -> World:
     return w
 
 
+def textured_room(width: int = 512, height: int = 512) -> World:
+    """All map kinds + instancing + progressive (BASELINE config 5, the
+    living-room analog): checkerboard floor texture, normal-mapped back wall,
+    metalness/roughness-mapped spheres (several instances of one mesh), an
+    emission-mapped panel light, and a spot light for NEE."""
+    from .models.texture import (Texture, NormalMap, MetalnessMap,
+                                 RoughnessMap, EmissionMap)
+    w = World()
+
+    # checkerboard color texture (wrap + linear, tiled via UV scale)
+    n = 64
+    yy, xx = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    check = ((xx // 8 + yy // 8) % 2).astype(np.float32)
+    check_rgba = np.stack([0.2 + 0.6 * check, 0.2 + 0.3 * check,
+                           0.25 + 0.15 * check, np.ones((n, n), np.float32)], -1)
+    tex = Texture(name="checker", data=check_rgba, filter_mode="linear",
+                  address_mode="wrap", scale=(4.0, 4.0))
+    w.textures.create(tex)
+
+    # sine-ripple normal map
+    u = np.linspace(0, 8 * np.pi, n)
+    nx = 0.35 * np.sin(u)[None, :] * np.ones((n, 1), np.float32)
+    ny = 0.35 * np.sin(u)[:, None] * np.ones((1, n), np.float32)
+    nz = np.sqrt(np.maximum(1.0 - nx * nx - ny * ny, 0.0))
+    nmap = NormalMap(name="ripple",
+                     data=np.stack([nx, ny, nz], -1) * 0.5 + 0.5,
+                     filter_mode="linear", address_mode="mirror")
+    w.normal_maps.create(nmap)
+
+    # radial metalness + roughness maps
+    r = np.sqrt((xx / n - 0.5) ** 2 + (yy / n - 0.5) ** 2).astype(np.float32)
+    met = MetalnessMap(name="radial metal", data=np.clip(1.2 - 2.0 * r, 0, 1))
+    rgh = RoughnessMap(name="radial rough", data=np.clip(2.0 * r, 0.02, 1.0))
+    w.metalness_maps.create(met)
+    w.roughness_maps.create(rgh)
+
+    # emission grid panel
+    egrid = (((xx // 16 + yy // 16) % 2) * 1.0).astype(np.float32)
+    emap = EmissionMap(name="panel grid", data=egrid)
+    w.emission_maps.create(emap)
+
+    floor_mat = w.create_material("floor", color=(1, 1, 1, 1), roughness=0.8)
+    floor_mat.texture = tex
+    wall_mat = w.create_material("wall", color=(0.7, 0.68, 0.6, 1.0), roughness=0.6)
+    wall_mat.normal_map = nmap
+    ball_mat = w.create_material("ball", color=(0.9, 0.6, 0.3, 1.0))
+    ball_mat.metalness_map = met
+    ball_mat.roughness_map = rgh
+    panel_mat = w.create_material("panel", color=(1.0, 0.95, 0.8, 1.0), emission=25.0)
+    panel_mat.emission_map = emap
+
+    floor = _quad("floor", (-4, 0, -4), (4, 0, -4), (4, 0, 4), (-4, 0, 4))
+    w.meshes.create(floor)
+    w.create_instance(name="floor", mesh=floor, materials=[floor_mat])
+    wall = _quad("wall", (-4, 0, 4), (4, 0, 4), (4, 4, 4), (-4, 4, 4))
+    w.meshes.create(wall)
+    w.create_instance(name="wall", mesh=wall, materials=[wall_mat])
+    panel = _quad("panel", (-1, 3.6, 1), (1, 3.6, 1), (1, 3.6, -1), (-1, 3.6, -1))
+    w.meshes.create(panel)
+    w.create_instance(name="panel", mesh=panel, materials=[panel_mat])
+
+    sph = w.generate_mesh("sphere", resolution=24)
+    for i, (px, pz, s) in enumerate([(-1.6, 0.6, 0.8), (0.0, -0.4, 0.6),
+                                     (1.7, 0.9, 1.0)]):
+        w.create_instance(name=f"ball {i}", mesh=sph, materials=[ball_mat],
+                          transform=Transform(position=(px, 0.6 * s, pz),
+                                              scale=(0.6 * s,) * 3))
+
+    w.create_spot_light(position=(-3.0, 3.5, -3.0), direction=(0.7, -0.8, 0.7),
+                        color=(1.0, 0.95, 0.9), size=0.25, emission=80.0,
+                        beam_angle=0.8)
+    cam = w.create_camera("camera", position=(0, 1.8, -5.5),
+                          resolution=(width, height), fov=float(np.pi / 3),
+                          focal_distance=6.0, aperture=0.01, exposure_time=0.12)
+    cam.look_at((0, 0.8, 0.5))
+    return w
+
+
 SCENES = {
     "cornell_box": cornell_box,
     "teapot_like": teapot_like,
     "multi_light": multi_light,
     "glass_and_fog": glass_and_fog,
+    "textured_room": textured_room,
 }
