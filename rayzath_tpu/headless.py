@@ -218,17 +218,34 @@ def main(argv: Optional[List[str]] = None) -> int:
                         "Execute rendering tasks without UI and generate a report.",
                         [Option("task_path", True), Option("report_path", False)]))
                .arg(Arg({"-r", "--render"},
-                        "When specified --headless, also saves rendered images.", [])))
+                        "When specified --headless, also saves rendered images.", []))
+               .arg(Arg({"--profile"},
+                        "Capture a jax.profiler trace of the run into a directory.",
+                        [Option("trace_dir", True)]))
+               .arg(Arg({"--scaling"},
+                        "Measure multi-device rays/s scaling efficiency.",
+                        [Option("scene", False)])))
     args = arg_def.parse(list(sys.argv[1:] if argv is None else argv))
 
     if "-h" in args or "--help" in args:
         print(arg_def.usage_string())
+        return 0
+    if "--scaling" in args:
+        from . import scenes
+        from .parallel.scaling import measure_scaling, format_report
+        params = args["--scaling"]
+        scene_fn = scenes.SCENES[params[0]] if params else scenes.cornell_box
+        print(format_report(measure_scaling(scene_fn)))
         return 0
     if "--headless" in args:
         params = args["--headless"]
         task_path = params[0] if params else ""
         report_path = params[1] if len(params) > 1 else None
         save = "-r" in args or "--render" in args
+        if "--profile" in args:
+            import jax
+            with jax.profiler.trace(args["--profile"][0]):
+                return Headless().run(task_path, report_path, save)
         return Headless().run(task_path, report_path, save)
     print(arg_def.usage_string())
     return 0

@@ -10,8 +10,10 @@ counters / gradients with psum.
 from .mesh import (make_mesh, RAYS_AXIS, shard_state, replicate_scene,
                    sharded_render_steps)
 from .train import training_step, image_loss
+from .scaling import measure_scaling, format_report
 
 __all__ = [
     "make_mesh", "RAYS_AXIS", "shard_state", "replicate_scene",
     "sharded_render_steps", "training_step", "image_loss",
+    "measure_scaling", "format_report",
 ]

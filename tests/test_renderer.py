@@ -43,3 +43,14 @@ def test_sharded_render_matches_single_device():
     # the accumulation image really is row-sharded across the mesh
     shard_shapes = {s.data.shape for s in sharded.accum.addressable_shards}
     assert shard_shapes == {(H // n, W, 4)}
+
+
+def test_scaling_harness_runs():
+    from rayzath_tpu.parallel.scaling import measure_scaling, format_report
+    res = measure_scaling(n_devices_list=[1, 2], rpp=2, size=16, max_depth=2,
+                          repeats=1)
+    assert [r["n"] for r in res] == [1, 2]
+    assert all(r["rays_per_s"] > 0 for r in res)
+    assert res[0]["efficiency"] == 1.0
+    report = format_report(res)
+    assert "efficiency" in report and "Mrays/s" in report
