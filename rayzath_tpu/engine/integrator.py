@@ -40,6 +40,8 @@ from ..ops import texture as tex_ops
 from ..ops.gather import gather_rows
 from ..ops.intersect import (project_closest, project_shadow, refine_hit)
 from ..ops.traverse import bvh_closest, bvh_shadow
+from ..ops.traverse_packet import (packet_closest, packet_shadow,
+                                   PACKET_MAX_NODES)
 from ..ops.vec import (dot, normalize, lerp, reflect, halfway,
                        cosine_sample_hemisphere, sample_sphere, sample_hemisphere,
                        sample_disk, fresnel_specular_ratio, cross)
@@ -106,6 +108,9 @@ def closest_hit(scene: DeviceScene, cfg: RenderConfig, o, d, near, far):
     if scene.n_triangles <= cfg.brute_force_threshold:
         t, tid = project_closest(o, d, near, far, scene.tri_pw, scene.tri_pc,
                                  chunk=min(cfg.chunk, scene.tri_v0.shape[0]))
+    elif _use_packet(scene, cfg):
+        t, tid = packet_closest(o, d, near, far,
+                                scene.pkt_nodes, scene.pkt_leaves)
     else:
         hit = bvh_closest(o, d, near, far,
                           scene.aabb_links, scene.node_begin, scene.node_count,
@@ -123,6 +128,11 @@ def closest_hit(scene: DeviceScene, cfg: RenderConfig, o, d, near, far):
     return t, tid, b1, b2, ext
 
 
+def _use_packet(scene: DeviceScene, cfg: RenderConfig) -> bool:
+    return (cfg.packet_traversal
+            and scene.node_begin.shape[0] <= PACKET_MAX_NODES)
+
+
 def shadow_test(scene: DeviceScene, cfg: RenderConfig, o, d, dist):
     """Transmission-filtered visibility (reference World::anyIntersection)."""
     op_rgb = scene.mat_color[scene.tri_mat][:, :3]
@@ -131,6 +141,18 @@ def shadow_test(scene: DeviceScene, cfg: RenderConfig, o, d, dist):
         return project_shadow(o, d, dist, scene.tri_pw, scene.tri_pc,
                               op_rgb, op_a,
                               chunk=min(cfg.chunk, scene.tri_v0.shape[0]))
+    if _use_packet(scene, cfg):
+        # fill the leaf opacity columns from the live material table so
+        # material edits / training gradients never see stale opacity
+        ids = scene.pkt_leaves[:, 9].astype(jnp.int32)
+        ids_c = jnp.clip(ids, 0, op_rgb.shape[0] - 1)
+        leaves = jnp.concatenate(
+            [scene.pkt_leaves[:, :10], op_rgb[ids_c], op_a[ids_c][:, None],
+             scene.pkt_leaves[:, 14:]], axis=1)
+        return packet_shadow(o, d, dist, scene.pkt_nodes, leaves,
+                             scene.aabb_links, scene.node_begin,
+                             scene.node_count, scene.tri_v0, scene.tri_e1,
+                             scene.tri_e2, op_rgb, op_a)
     return bvh_shadow(o, d, dist,
                       scene.aabb_links, scene.node_begin, scene.node_count,
                       scene.tri_v0, scene.tri_e1, scene.tri_e2, op_rgb, op_a,

@@ -68,4 +68,6 @@ def sharded_render_steps(scene, cam, cfg, state: RenderState, key, n_steps: int,
     scene = replicate_scene(scene, mesh)
     cam = replicate_scene(cam, mesh)
     state = shard_state(state, mesh)
+    # pallas_call does not auto-partition under GSPMD; the XLA traversal does
+    cfg = cfg.with_(packet_traversal=False)
     return render_steps(scene, cam, cfg, state, key, n_steps)
