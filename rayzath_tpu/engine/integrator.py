@@ -109,8 +109,7 @@ def closest_hit(scene: DeviceScene, cfg: RenderConfig, o, d, near, far):
         t, tid = project_closest(o, d, near, far, scene.tri_pw, scene.tri_pc,
                                  chunk=min(cfg.chunk, scene.tri_v0.shape[0]))
     elif _use_packet(scene, cfg):
-        t, tid = packet_closest(o, d, near, far,
-                                scene.pkt_nodes, scene.pkt_leaves)
+        t, tid = packet_closest(o, d, near, far, scene.pkt_tab)
     else:
         hit = bvh_closest(o, d, near, far,
                           scene.aabb_links, scene.node_begin, scene.node_count,
@@ -142,17 +141,9 @@ def shadow_test(scene: DeviceScene, cfg: RenderConfig, o, d, dist):
                               op_rgb, op_a,
                               chunk=min(cfg.chunk, scene.tri_v0.shape[0]))
     if _use_packet(scene, cfg):
-        # fill the leaf opacity columns from the live material table so
-        # material edits / training gradients never see stale opacity
-        ids = scene.pkt_leaves[:, 9].astype(jnp.int32)
-        ids_c = jnp.clip(ids, 0, op_rgb.shape[0] - 1)
-        leaves = jnp.concatenate(
-            [scene.pkt_leaves[:, :10], op_rgb[ids_c], op_a[ids_c][:, None],
-             scene.pkt_leaves[:, 14:]], axis=1)
-        return packet_shadow(o, d, dist, scene.pkt_nodes, leaves,
-                             scene.aabb_links, scene.node_begin,
-                             scene.node_count, scene.tri_v0, scene.tri_e1,
-                             scene.tri_e2, op_rgb, op_a)
+        return packet_shadow(o, d, dist, scene.pkt_tab,
+                             scene.tri_v0, scene.tri_e1, scene.tri_e2,
+                             op_rgb, op_a)
     return bvh_shadow(o, d, dist,
                       scene.aabb_links, scene.node_begin, scene.node_count,
                       scene.tri_v0, scene.tri_e1, scene.tri_e2, op_rgb, op_a,

@@ -37,7 +37,7 @@ from flax import struct
 
 from ..ops.bvh import build_bvh, compute_skip_links, triangle_aabbs, FlatBVH
 from ..ops.traverse import build_aabb_links
-from ..ops.traverse_packet import build_packet_tables
+from ..ops.traverse_packet import build_packet_table
 from ..ops.intersect import triangle_frames
 from ..utils.hostmath import normalize as nrm
 from .material import Material
@@ -73,10 +73,10 @@ class DeviceScene:
     node_begin: jnp.ndarray   # [N] i32
     node_count: jnp.ndarray   # [N] i32 (0 = inner)
 
-    # packet-traversal tables (ops/traverse_packet.py): per-octant node rows
-    # and per-node leaf triangle blocks, VMEM-resident inside the kernel
-    pkt_nodes: jnp.ndarray    # [8N, 8] f32
-    pkt_leaves: jnp.ndarray   # [N*8, 16] f32 (opacity columns filled in-jit)
+    # packet-traversal table (ops/traverse_packet.py): one 128-lane row per
+    # node (AABB + all-octant skip links + leaf triangle block + ids),
+    # VMEM-resident inside the kernel
+    pkt_tab: jnp.ndarray      # [N, 128] f32
 
     # materials SoA (0=world/sky, 1=default)
     mat_color: jnp.ndarray       # [M,4] rgba (alpha: 1=opaque)
@@ -327,13 +327,12 @@ def compile_world(world: World, leaf_size: int = 8) -> DeviceScene:
     tri_inst = _pad_rows(tri_inst, n_tri_pad, -1)
     tri_pw, tri_pc = triangle_frames(tri_v0, tri_e1, tri_e2)
 
-    # packet-traversal tables (triangles already in leaf order; opacity
-    # columns are placeholders — shadow_test fills them from mat_color in-jit
-    # so material edits/training never see stale opacity)
-    pkt_nodes, pkt_leaves = build_packet_tables(
+    # packet-traversal table (triangles already in leaf order; opacity lanes
+    # are filled from mat_color in-jit by shadow_test so material edits and
+    # training never see stale opacity)
+    pkt_tab = build_packet_table(
         bvh.node_min, bvh.node_max, bvh.node_begin, bvh.node_count,
-        first8, skip8, tri_v0, tri_e1, tri_e2,
-        np.ones((n_tri_pad, 3), np.float32), np.ones(n_tri_pad, np.float32))
+        first8, skip8, tri_v0, tri_e1, tri_e2)
 
     # ---- lights (padded to >=1 so shapes stay static; counts gate usage) ----
     n_spot = len(world.spot_lights)
@@ -359,7 +358,7 @@ def compile_world(world: World, leaf_size: int = 8) -> DeviceScene:
         tri_pw=jnp.asarray(tri_pw), tri_pc=jnp.asarray(tri_pc),
         aabb_links=jnp.asarray(aabb_links),
         node_begin=jnp.asarray(bvh.node_begin), node_count=jnp.asarray(bvh.node_count),
-        pkt_nodes=jnp.asarray(pkt_nodes), pkt_leaves=jnp.asarray(pkt_leaves),
+        pkt_tab=jnp.asarray(pkt_tab),
         mat_color=jnp.asarray(mat_color), mat_metalness=jnp.asarray(mat_metalness),
         mat_roughness=jnp.asarray(mat_roughness), mat_emission=jnp.asarray(mat_emission),
         mat_ior=jnp.asarray(mat_ior), mat_scattering=jnp.asarray(mat_scattering),

@@ -36,8 +36,7 @@ def test_packet_closest_matches_xla(scene_and_rays):
     r = o.shape[0]
     near = jnp.full(r, 1e-4)
     far = jnp.full(r, 1e30)
-    t_p, id_p = packet_closest(o, d, near, far,
-                               scene.pkt_nodes, scene.pkt_leaves)
+    t_p, id_p = packet_closest(o, d, near, far, scene.pkt_tab)
     hit = bvh_closest(o, d, near, far, scene.aabb_links, scene.node_begin,
                       scene.node_count, scene.tri_v0, scene.tri_e1,
                       scene.tri_e2)
@@ -55,15 +54,9 @@ def test_packet_shadow_matches_xla(scene_and_rays):
     dist = jnp.full(r, 30.0)
     op_rgb = scene.mat_color[scene.tri_mat][:, :3]
     op_a = 1.0 - scene.mat_color[scene.tri_mat][:, 3]
-    ids = scene.pkt_leaves[:, 9].astype(jnp.int32)
-    ids_c = jnp.clip(ids, 0, op_rgb.shape[0] - 1)
-    leaves = jnp.concatenate(
-        [scene.pkt_leaves[:, :10], op_rgb[ids_c], op_a[ids_c][:, None],
-         scene.pkt_leaves[:, 14:]], axis=1)
-    rgb_p, a_p = packet_shadow(o, d, dist, scene.pkt_nodes, leaves,
-                               scene.aabb_links, scene.node_begin,
-                               scene.node_count, scene.tri_v0, scene.tri_e1,
-                               scene.tri_e2, op_rgb, op_a)
+    rgb_p, a_p = packet_shadow(o, d, dist, scene.pkt_tab,
+                               scene.tri_v0, scene.tri_e1, scene.tri_e2,
+                               op_rgb, op_a)
     rgb_x, a_x = bvh_shadow(o, d, dist, scene.aabb_links, scene.node_begin,
                             scene.node_count, scene.tri_v0, scene.tri_e1,
                             scene.tri_e2, op_rgb, op_a)
@@ -101,9 +94,6 @@ def test_packet_shadow_gradients_match_xla():
     dist = jnp.full(r, 20.0)
     op_rgb = scene.mat_color[scene.tri_mat][:, :3]
     op_a = 1.0 - scene.mat_color[scene.tri_mat][:, 3]
-    ids = scene.pkt_leaves[:, 9].astype(jnp.int32)
-    ids_c = jnp.clip(ids, 0, op_rgb.shape[0] - 1)
-
     # restrict the loss to rays that never cross the alpha early-out: beyond
     # it the reference's own accumulated rgb is traversal-order-defined (the
     # light term there is ~0), so gradients are compared where well-defined
@@ -114,13 +104,9 @@ def test_packet_shadow_gradients_match_xla():
     assert float(live.sum()) > 10
 
     def loss_pkt(op_rgb, op_a):
-        leaves = jnp.concatenate(
-            [scene.pkt_leaves[:, :10], op_rgb[ids_c], op_a[ids_c][:, None],
-             scene.pkt_leaves[:, 14:]], axis=1)
-        rgb, a = packet_shadow(o, d, dist, scene.pkt_nodes, leaves,
-                               scene.aabb_links, scene.node_begin,
-                               scene.node_count, scene.tri_v0, scene.tri_e1,
-                               scene.tri_e2, op_rgb, op_a)
+        rgb, a = packet_shadow(o, d, dist, scene.pkt_tab,
+                               scene.tri_v0, scene.tri_e1, scene.tri_e2,
+                               op_rgb, op_a)
         return jnp.sum(rgb * a[:, None] * live)
 
     def loss_dense(op_rgb, op_a):
