@@ -102,14 +102,50 @@ def material_fetch(scene: DeviceScene, mat_id, texcrd) -> MatProps:
 # intersection dispatch (brute force for small scenes, BVH otherwise)
 # ---------------------------------------------------------------------------
 
-def closest_hit(scene: DeviceScene, cfg: RenderConfig, o, d, near, far):
+TILE = 32  # packet tile side: TILE*TILE == traverse_packet.BLOCK
+
+
+def _tileable(hw, r: int) -> bool:
+    return (hw is not None and hw[0] % TILE == 0 and hw[1] % TILE == 0
+            and hw[0] * hw[1] == r)
+
+
+def _tile(x, hw):
+    """Permute row-major rays into 32x32 image tiles (reshape/transpose only —
+    no gathers). One packet block then covers a narrow frustum instead of two
+    full image rows, so the shared walk's any_hit pruning skips subtrees."""
+    h, w = hw
+    t = TILE
+    rest = x.shape[1:]
+    x = x.reshape((h // t, t, w // t, t) + rest)
+    return x.transpose((0, 2, 1, 3) + tuple(range(4, 4 + len(rest)))).reshape(
+        (h * w,) + rest)
+
+
+def _untile(x, hw):
+    h, w = hw
+    t = TILE
+    rest = x.shape[1:]
+    x = x.reshape((h // t, w // t, t, t) + rest)
+    return x.transpose((0, 2, 1, 3) + tuple(range(4, 4 + len(rest)))).reshape(
+        (h * w,) + rest)
+
+
+def closest_hit(scene: DeviceScene, cfg: RenderConfig, o, d, near, far,
+                hw=None):
     """Returns (t, tri_id, b1, b2, external); ids are stop-gradient, (t,b1,b2)
     re-derived differentiably (path-replay)."""
     if scene.n_triangles <= cfg.brute_force_threshold:
         t, tid = project_closest(o, d, near, far, scene.tri_pw, scene.tri_pc,
                                  chunk=min(cfg.chunk, scene.tri_v0.shape[0]))
     elif _use_packet(scene, cfg):
-        t, tid = packet_closest(o, d, near, far, scene.pkt_tab)
+        if _tileable(hw, o.shape[0]):
+            t, tid = packet_closest(_tile(o, hw), _tile(d, hw),
+                                    _tile(near, hw), _tile(far, hw),
+                                    scene.pkt_tab)
+            t, tid = _untile(t, hw), _untile(tid, hw)
+        else:
+            t, tid = packet_closest(o, d, near, far, scene.pkt_tab)
     else:
         hit = bvh_closest(o, d, near, far,
                           scene.aabb_links, scene.node_begin, scene.node_count,
@@ -132,7 +168,7 @@ def _use_packet(scene: DeviceScene, cfg: RenderConfig) -> bool:
             and scene.node_begin.shape[0] <= PACKET_MAX_NODES)
 
 
-def shadow_test(scene: DeviceScene, cfg: RenderConfig, o, d, dist):
+def shadow_test(scene: DeviceScene, cfg: RenderConfig, o, d, dist, hw=None):
     """Transmission-filtered visibility (reference World::anyIntersection)."""
     op_rgb = scene.mat_color[scene.tri_mat][:, :3]
     op_a = 1.0 - scene.mat_color[scene.tri_mat][:, 3]
@@ -141,6 +177,11 @@ def shadow_test(scene: DeviceScene, cfg: RenderConfig, o, d, dist):
                               op_rgb, op_a,
                               chunk=min(cfg.chunk, scene.tri_v0.shape[0]))
     if _use_packet(scene, cfg):
+        if _tileable(hw, o.shape[0]):
+            rgb, a = packet_shadow(_tile(o, hw), _tile(d, hw), _tile(dist, hw),
+                                   scene.pkt_tab, scene.tri_v0, scene.tri_e1,
+                                   scene.tri_e2, op_rgb, op_a)
+            return _untile(rgb, hw), _untile(a, hw)
         return packet_shadow(o, d, dist, scene.pkt_tab,
                              scene.tri_v0, scene.tri_e1, scene.tri_e2,
                              op_rgb, op_a)
@@ -234,7 +275,7 @@ def sample_direction(d_in, normal, mapped_normal, mat: MatProps,
 
 def _nee_spot(scene, cfg, point, next_dir, d_in, mapped_normal, surf_scattering,
               roughness, alpha_op, reflectance, brdf_color, vs_pdf,
-              medium_scattering, u):
+              medium_scattering, u, hw=None):
     n_lights = scene.n_spot_lights
     n_samples = cfg.light_sampling.spot_light
     total = jnp.zeros_like(point)
@@ -276,14 +317,14 @@ def _nee_spot(scene, cfg, point, next_dir, d_in, mapped_normal, surf_scattering,
         radiance = jnp.where(radiance < 1e-4, 0.0, radiance)
         radiance = jnp.where(brdf < 1e-4, 0.0, radiance)
 
-        v_rgb, v_a = shadow_test(scene, cfg, point, vpl_n, d_pl)
+        v_rgb, v_a = shadow_test(scene, cfg, point, vpl_n, d_pl, hw=hw)
         total = total + lcol * brdf_color * (radiance * v_a)[:, None] * v_rgb
     pdf = n_samples / float(n_lights)
     return total / pdf
 
 
 def _nee_direct(scene, cfg, point, next_dir, d_in, mapped_normal, surf_scattering,
-                roughness, alpha_op, reflectance, brdf_color, vs_pdf, u):
+                roughness, alpha_op, reflectance, brdf_color, vs_pdf, u, hw=None):
     n_lights = scene.n_direct_lights
     n_samples = cfg.light_sampling.direct_light
     total = jnp.zeros_like(point)
@@ -312,7 +353,8 @@ def _nee_direct(scene, cfg, point, next_dir, d_in, mapped_normal, surf_scatterin
         radiance = le * lw + se * vsw
         radiance = jnp.where(radiance < 1e-4, 0.0, radiance)
 
-        v_rgb, v_a = shadow_test(scene, cfg, point, vpl_n, jnp.full_like(se, BIG))
+        v_rgb, v_a = shadow_test(scene, cfg, point, vpl_n, jnp.full_like(se, BIG),
+                                 hw=hw)
         total = total + lcol * brdf_color * (radiance * v_a)[:, None] * v_rgb
     pdf = n_samples / float(n_lights)
     return total / pdf
@@ -356,7 +398,8 @@ def bounce_step(scene: DeviceScene, cam: DeviceCamera, cfg: RenderConfig,
     far_eff = jnp.where(has_scatter, jnp.minimum(far, scat_dist), far)
 
     # --- closest intersection ---
-    t, tri_id, b1, b2, external = closest_hit(scene, cfg, o, d, near, far_eff)
+    t, tri_id, b1, b2, external = closest_hit(scene, cfg, o, d, near, far_eff,
+                                               hw=(H, W))
     hit_obj = tri_id >= 0
     scatter_evt = has_scatter & ~hit_obj & (scat_dist < far)
     any_hit = hit_obj | scatter_evt
@@ -451,14 +494,14 @@ def bounce_step(scene: DeviceScene, cam: DeviceCamera, cfg: RenderConfig,
             direct = direct + _nee_spot(
                 scene, cfg, point, next_dir, d, mapped_normal, surf_scattering,
                 mat.roughness, mat.alpha_op, reflectance, brdf_color, vs_pdf,
-                med_scatter, u[:, off:off + ns])
+                med_scatter, u[:, off:off + ns], hw=(H, W))
             off += ns
         if scene.n_direct_lights:
             ns = 3 * cfg.light_sampling.direct_light
             direct = direct + _nee_direct(
                 scene, cfg, point, next_dir, d, mapped_normal, surf_scattering,
                 mat.roughness, mat.alpha_op, reflectance, brdf_color, vs_pdf,
-                u[:, off:off + ns])
+                u[:, off:off + ns], hw=(H, W))
         metallic_tint = lerp(jnp.ones_like(mat.color_rgb), mat.color_rgb,
                              mat.metalness[:, None])
         contrib = contrib + jnp.where(any_hit[:, None],
