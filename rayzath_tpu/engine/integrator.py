@@ -41,7 +41,7 @@ from ..ops.gather import gather_rows
 from ..ops.intersect import (project_closest, project_shadow, refine_hit)
 from ..ops.traverse import bvh_closest, bvh_shadow
 from ..ops.traverse_packet import (packet_closest, packet_shadow,
-                                   PACKET_MAX_NODES)
+                                   PACKET_MAX_NODES, BLOCK as _PACKET_BLOCK)
 from ..ops.vec import (dot, normalize, lerp, reflect, halfway,
                        cosine_sample_hemisphere, sample_sphere, sample_hemisphere,
                        sample_disk, fresnel_specular_ratio, cross)
@@ -102,7 +102,10 @@ def material_fetch(scene: DeviceScene, mat_id, texcrd) -> MatProps:
 # intersection dispatch (brute force for small scenes, BVH otherwise)
 # ---------------------------------------------------------------------------
 
-TILE = 32  # packet tile side: TILE*TILE == traverse_packet.BLOCK
+TILE = 32  # packet tile side
+# one image tile must fill exactly one packet block, or tiles silently
+# misalign with blocks and the coherence win disappears
+assert TILE * TILE == _PACKET_BLOCK
 
 
 def _tileable(hw, r: int) -> bool:

@@ -124,3 +124,44 @@ def test_packet_shadow_gradients_match_xla():
     for a, b in zip(g_p, g_d):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_tile_untile_roundtrip():
+    """_untile(_tile(x)) identity for every rank the dispatcher tiles."""
+    from rayzath_tpu.engine.integrator import _tile, _untile, TILE
+    hw = (2 * TILE, 3 * TILE)
+    r = hw[0] * hw[1]
+    key = jax.random.key(11)
+    for shape in ((r,), (r, 3), (r, 2)):
+        x = jax.random.normal(key, shape)
+        y = _untile(_tile(x, hw), hw)
+        assert (np.asarray(x) == np.asarray(y)).all()
+        # tiling is a permutation: same multiset of values
+        assert np.allclose(np.sort(np.asarray(x).ravel()),
+                           np.sort(np.asarray(_tile(x, hw)).ravel()))
+
+
+def test_tiled_dispatch_matches_untiled():
+    """closest_hit / shadow_test give identical results with and without the
+    image-tile permutation (hw=None disables tiling)."""
+    from rayzath_tpu.engine.integrator import closest_hit, shadow_test, TILE
+    w = rz.scenes.teapot_like(2 * TILE, TILE)
+    scene = compile_world(w)
+    cam = compile_camera(w.cameras[0])
+    hw = (TILE, 2 * TILE)  # (H, W)
+    r = hw[0] * hw[1]
+    u = jax.random.uniform(jax.random.key(13), (r, 4))
+    o, d = generate_rays(cam, pixel_grid(hw[1], hw[0]), u)
+    cfg = rz.RenderConfig().with_(brute_force_threshold=0)
+    near = jnp.full(r, 1e-4)
+    far = jnp.full(r, 1e30)
+    a = closest_hit(scene, cfg, o, d, near, far, hw=hw)
+    b = closest_hit(scene, cfg, o, d, near, far, hw=None)
+    for x, y in zip(a, b):
+        assert (np.asarray(x) == np.asarray(y)).all()
+    dist = jnp.full(r, 25.0)
+    sa = shadow_test(scene, cfg, o, d, dist, hw=hw)
+    sb = shadow_test(scene, cfg, o, d, dist, hw=None)
+    for x, y in zip(sa, sb):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-6, atol=1e-7)
