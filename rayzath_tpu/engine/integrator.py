@@ -552,12 +552,9 @@ def bounce_step(scene: DeviceScene, cam: DeviceCamera, cfg: RenderConfig,
 # multi-bounce render step
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("cfg", "n_steps", "remat"))
-def render_steps(scene: DeviceScene, cam: DeviceCamera, cfg: RenderConfig,
-                 state: RenderState, key, n_steps: int, remat: bool = False
-                 ) -> RenderState:
-    """Run ``n_steps`` cumulative bounce passes under one jit (the analog of the
-    reference render cycle, cuda_engine_renderer.cu:125-186)."""
+def _render_steps_impl(scene: DeviceScene, cam: DeviceCamera, cfg: RenderConfig,
+                       state: RenderState, key, n_steps: int,
+                       remat: bool = False) -> RenderState:
     step = bounce_step
     if remat:
         step = jax.checkpoint(bounce_step, static_argnums=(2,))
@@ -568,6 +565,24 @@ def render_steps(scene: DeviceScene, cam: DeviceCamera, cfg: RenderConfig,
 
     state, _ = jax.lax.scan(body, state, jnp.arange(n_steps))
     return state
+
+
+#: Run ``n_steps`` cumulative bounce passes under one jit (the analog of the
+#: reference render cycle, cuda_engine_renderer.cu:125-186).
+#:
+#: The input ``state`` is DONATED (the reference double-buffers its
+#: progressive buffers, cuda_engine_core.cu:109-127; donation is the XLA way
+#: to update them in place): the accum/path buffers are rewritten in their own
+#: HBM, so a render cycle does not double the state footprint. Callers must
+#: not reuse the input state after the call — assign the result over it. Use
+#: :data:`render_steps_preserve` when the same initial state must be rendered
+#: from repeatedly (loss probes, finite differences).
+render_steps = partial(jax.jit, static_argnames=("cfg", "n_steps", "remat"),
+                       donate_argnames=("state",))(_render_steps_impl)
+
+#: Non-donating twin of :data:`render_steps` — the input state stays alive.
+render_steps_preserve = partial(
+    jax.jit, static_argnames=("cfg", "n_steps", "remat"))(_render_steps_impl)
 
 
 def ray_cast(scene: DeviceScene, cam: DeviceCamera, cfg: RenderConfig,

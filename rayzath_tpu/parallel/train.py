@@ -16,7 +16,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from ..engine.integrator import render_steps
+from ..engine.integrator import render_steps_preserve
 from ..engine.state import RenderState
 
 # Scene leaves that receive gradients. ior/scattering are excluded by default:
@@ -28,7 +28,9 @@ DIFF_PARAMS = ("mat_color", "mat_metalness", "mat_roughness", "mat_emission",
 
 def image_loss(scene, cam, cfg, state: RenderState, key, target, n_steps: int):
     """MSE between the mean accumulated radiance and a target HDR image."""
-    st = render_steps(scene, cam, cfg, state, key, n_steps)
+    # preserve the caller's state: losses are probed repeatedly from the same
+    # initial state (finite differences, line searches); donation would free it
+    st = render_steps_preserve(scene, cam, cfg, state, key, n_steps)
     spp = jnp.maximum(st.accum[..., 3:4], 1.0)
     img = st.accum[..., :3] / spp
     return jnp.mean(jnp.square(img - target)), st

@@ -14,7 +14,7 @@ import pytest
 import rayzath_tpu as rz
 from rayzath_tpu.models.device_scene import compile_world, compile_camera
 from rayzath_tpu.engine.state import init_state
-from rayzath_tpu.engine.integrator import render_steps
+from rayzath_tpu.engine.integrator import render_steps_preserve
 from rayzath_tpu.parallel.train import image_loss, training_step, DIFF_PARAMS
 
 
@@ -45,7 +45,7 @@ def setup(n_steps=6, max_depth=3):
 
 
 def render_mean_image(scene, cam, cfg, state, key, n):
-    st = render_steps(scene, cam, cfg, state, key, n)
+    st = render_steps_preserve(scene, cam, cfg, state, key, n)
     spp = jnp.maximum(st.accum[..., 3:4], 1.0)
     return st.accum[..., :3] / spp
 

@@ -54,3 +54,22 @@ def test_scaling_harness_runs():
     assert res[0]["efficiency"] == 1.0
     report = format_report(res)
     assert "efficiency" in report and "Mrays/s" in report
+
+
+def test_render_steps_donates_state():
+    """The hot-path entry donates the input state (no double-buffered HBM);
+    the preserve twin keeps it alive for repeated loss probes."""
+    import jax
+    from rayzath_tpu.engine.integrator import render_steps_preserve
+    w = rz.scenes.cornell_box(16, 16)
+    scene = compile_world(w)
+    cam = compile_camera(w.cameras[0])
+    cfg = rz.RenderConfig(tracing=rz.Tracing(max_depth=2, rpp=1))
+    key = jax.random.key(0)
+
+    st_in = init_state(16, 16)
+    out = render_steps_preserve(scene, cam, cfg, st_in, key, 1)
+    assert not st_in.accum.is_deleted()
+    out2 = render_steps(scene, cam, cfg, st_in, key, 1)
+    assert st_in.accum.is_deleted(), "donating entry left the input alive"
+    np.testing.assert_allclose(np.asarray(out.accum), np.asarray(out2.accum))
