@@ -7,6 +7,7 @@ These are static (compile-time) values for the jitted integrator.
 from __future__ import annotations
 
 from dataclasses import dataclass, replace
+from typing import Optional
 
 
 @dataclass(frozen=True)
@@ -38,6 +39,10 @@ class RenderConfig:
     # walk on one chip; disabled automatically on the GSPMD-sharded path
     # (pallas_call does not auto-partition) and for oversized scenes.
     packet_traversal: bool = True
+    # Acceleration structure: None = auto (two-level TLAS/BLAS when instancing
+    # would duplicate geometry or the scene overflows the resident packet
+    # table; world-space soup otherwise). True/False forces the choice.
+    two_level: Optional[bool] = None
 
     def with_(self, **kw) -> "RenderConfig":
         return replace(self, **kw)

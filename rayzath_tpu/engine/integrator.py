@@ -38,10 +38,12 @@ from ..models.device_scene import DeviceScene, DeviceCamera, WORLD_MATERIAL_ID
 from ..ops import camera as cam_ops
 from ..ops import texture as tex_ops
 from ..ops.gather import gather_rows
-from ..ops.intersect import (project_closest, project_shadow, refine_hit)
+from ..ops.intersect import (project_closest, project_shadow, refine_hit,
+                             refine_tri)
 from ..ops.traverse import bvh_closest, bvh_shadow
 from ..ops.traverse_packet import (packet_closest, packet_shadow,
                                    PACKET_MAX_NODES, BLOCK as _PACKET_BLOCK)
+from ..ops.traverse_tlas import tlas_closest, tlas_shadow
 from ..ops.vec import (dot, normalize, lerp, reflect, halfway,
                        cosine_sample_hemisphere, sample_sphere, sample_hemisphere,
                        sample_disk, fresnel_specular_ratio, cross)
@@ -134,10 +136,66 @@ def _untile(x, hw):
         (h * w,) + rest)
 
 
+def _apply_fwd(fwd_rows, v, translate: bool):
+    """Apply per-ray object->world 3x4 transforms ([R,12] row-major) to [R,3]
+    vectors (points when ``translate``)."""
+    a = fwd_rows
+    out = jnp.stack([
+        a[:, 0] * v[:, 0] + a[:, 1] * v[:, 1] + a[:, 2] * v[:, 2],
+        a[:, 4] * v[:, 0] + a[:, 5] * v[:, 1] + a[:, 6] * v[:, 2],
+        a[:, 8] * v[:, 0] + a[:, 9] * v[:, 1] + a[:, 10] * v[:, 2]], axis=1)
+    if translate:
+        out = out + jnp.stack([a[:, 3], a[:, 7], a[:, 11]], axis=1)
+    return out
+
+
+def _apply_nrm(nrm_rows, v):
+    """Per-ray normal matrices ([R,9] row-major 3x3) applied to [R,3]."""
+    a = nrm_rows
+    return jnp.stack([
+        a[:, 0] * v[:, 0] + a[:, 1] * v[:, 1] + a[:, 2] * v[:, 2],
+        a[:, 3] * v[:, 0] + a[:, 4] * v[:, 1] + a[:, 5] * v[:, 2],
+        a[:, 6] * v[:, 0] + a[:, 7] * v[:, 1] + a[:, 8] * v[:, 2]], axis=1)
+
+
+def world_tri(scene: DeviceScene, tri, inst):
+    """World-space (v0, e1, e2) of the hit triangles in two-level mode:
+    object geometry gathered by triangle id, transformed by the instance's
+    object->world matrix (reference Instance closestIntersection transforms
+    the ray instead, cuda_instance.cuh:186-229 — same hit, world shading)."""
+    fwd = gather_rows(scene.inst_fwd, inst)
+    v0 = _apply_fwd(fwd, gather_rows(scene.tri_v0, tri), True)
+    e1 = _apply_fwd(fwd, gather_rows(scene.tri_e1, tri), False)
+    e2 = _apply_fwd(fwd, gather_rows(scene.tri_e2, tri), False)
+    return v0, e1, e2
+
+
 def closest_hit(scene: DeviceScene, cfg: RenderConfig, o, d, near, far,
                 hw=None):
-    """Returns (t, tri_id, b1, b2, external); ids are stop-gradient, (t,b1,b2)
-    re-derived differentiably (path-replay)."""
+    """Returns (t, tri_id, inst_id, b1, b2, external); ids are stop-gradient,
+    (t,b1,b2) re-derived differentiably (path-replay). ``inst_id`` is None on
+    the soup path (instance resolved via tri_inst there)."""
+    if scene.two_level:
+        if _tileable(hw, o.shape[0]):
+            t, tid, inst = tlas_closest(
+                _tile(o, hw), _tile(d, hw), _tile(near, hw), _tile(far, hw),
+                scene.tlas_tab, scene.unit_tab, scene.seg_rows,
+                scene.seg_nodes)
+            t, tid, inst = _untile(t, hw), _untile(tid, hw), _untile(inst, hw)
+        else:
+            t, tid, inst = tlas_closest(o, d, near, far, scene.tlas_tab,
+                                        scene.unit_tab, scene.seg_rows,
+                                        scene.seg_nodes)
+        v0, e1, e2 = world_tri(scene, jnp.maximum(tid, 0),
+                               jnp.maximum(inst, 0))
+        t_r, b1_r, b2_r, det = refine_tri(o, d, v0, e1, e2)
+        ext = jax.lax.stop_gradient(det > 0.0)
+        hit_mask = tid >= 0
+        t = jnp.where(hit_mask, t_r, jax.lax.stop_gradient(t))
+        b1 = jnp.where(hit_mask, b1_r, 0.0)
+        b2 = jnp.where(hit_mask, b2_r, 0.0)
+        return t, tid, inst, b1, b2, ext
+
     if scene.n_triangles <= cfg.brute_force_threshold:
         t, tid = project_closest(o, d, near, far, scene.tri_pw, scene.tri_pc,
                                  chunk=min(cfg.chunk, scene.tri_v0.shape[0]))
@@ -163,7 +221,7 @@ def closest_hit(scene: DeviceScene, cfg: RenderConfig, o, d, near, far,
     t = jnp.where(hit_mask, t_r, jax.lax.stop_gradient(t))
     b1 = jnp.where(hit_mask, b1_r, 0.0)
     b2 = jnp.where(hit_mask, b2_r, 0.0)
-    return t, tid, b1, b2, ext
+    return t, tid, None, b1, b2, ext
 
 
 def _use_packet(scene: DeviceScene, cfg: RenderConfig) -> bool:
@@ -173,6 +231,25 @@ def _use_packet(scene: DeviceScene, cfg: RenderConfig) -> bool:
 
 def shadow_test(scene: DeviceScene, cfg: RenderConfig, o, d, dist, hw=None):
     """Transmission-filtered visibility (reference World::anyIntersection)."""
+    if scene.two_level:
+        # live per-(instance, slot) opacities from the material table: edits
+        # and training are never stale, gradients flow to mat_color
+        mc = scene.mat_color[scene.inst_slot_map]           # [I,64,4]
+        op_rgb_is = mc[..., :3]
+        op_a_is = 1.0 - mc[..., 3]
+        replay = (scene.exp_tri, scene.exp_inst, scene.inst_fwd)
+
+        def run(o, d, dist):
+            return tlas_shadow(o, d, dist, scene.tlas_tab, scene.unit_tab,
+                               scene.seg_rows, op_rgb_is, op_a_is,
+                               scene.tri_v0, scene.tri_e1, scene.tri_e2,
+                               scene.tri_slot, replay, scene.seg_nodes)
+
+        if _tileable(hw, o.shape[0]):
+            rgb, a = run(_tile(o, hw), _tile(d, hw), _tile(dist, hw))
+            return _untile(rgb, hw), _untile(a, hw)
+        return run(o, d, dist)
+
     op_rgb = scene.mat_color[scene.tri_mat][:, :3]
     op_a = 1.0 - scene.mat_color[scene.tri_mat][:, 3]
     if scene.n_triangles <= cfg.brute_force_threshold:
@@ -401,15 +478,40 @@ def bounce_step(scene: DeviceScene, cam: DeviceCamera, cfg: RenderConfig,
     far_eff = jnp.where(has_scatter, jnp.minimum(far, scat_dist), far)
 
     # --- closest intersection ---
-    t, tri_id, b1, b2, external = closest_hit(scene, cfg, o, d, near, far_eff,
-                                               hw=(H, W))
+    t, tri_id, inst_id, b1, b2, external = closest_hit(scene, cfg, o, d, near,
+                                                       far_eff, hw=(H, W))
     hit_obj = tri_id >= 0
     scatter_evt = has_scatter & ~hit_obj & (scat_dist < far)
     any_hit = hit_obj | scatter_evt
     t_final = jnp.where(hit_obj, t, jnp.where(scatter_evt, scat_dist, far_eff))
 
     tri = jnp.maximum(tri_id, 0)
-    surf_mat = jnp.where(hit_obj, gather_rows(scene.tri_mat, tri),
+    if scene.two_level:
+        # object-space geometry -> world via the instance's transform;
+        # material resolved through the instance's slot table (reference
+        # Instance::analyzeIntersection, cuda_instance.cuh:231-264)
+        inst = jnp.maximum(inst_id, 0)
+        fwd = gather_rows(scene.inst_fwd, inst)
+        nrm_rows = gather_rows(scene.inst_nrm, inst)
+        e1 = _apply_fwd(fwd, gather_rows(scene.tri_e1, tri), False)
+        e2 = _apply_fwd(fwd, gather_rows(scene.tri_e2, tri), False)
+
+        def _wn(arr):
+            return normalize(_apply_nrm(nrm_rows, gather_rows(arr, tri)))
+
+        n0_w, n1_w, n2_w = _wn(scene.tri_n0), _wn(scene.tri_n1), _wn(scene.tri_n2)
+        slot = gather_rows(scene.tri_slot, tri)
+        tri_mat_hit = gather_rows(scene.inst_slot_map.reshape(-1),
+                                  inst * 64 + slot)
+    else:
+        e1 = gather_rows(scene.tri_e1, tri)
+        e2 = gather_rows(scene.tri_e2, tri)
+        n0_w = gather_rows(scene.tri_n0, tri)
+        n1_w = gather_rows(scene.tri_n1, tri)
+        n2_w = gather_rows(scene.tri_n2, tri)
+        tri_mat_hit = gather_rows(scene.tri_mat, tri)
+
+    surf_mat = jnp.where(hit_obj, tri_mat_hit,
                          jnp.where(scatter_evt, med, WORLD_MATERIAL_ID))
     behind_mat = jnp.where(hit_obj & external, surf_mat,
                            jnp.where(scatter_evt, med,
@@ -424,12 +526,9 @@ def bounce_step(scene: DeviceScene, cam: DeviceCamera, cfg: RenderConfig,
     texcrd = jnp.where(hit_obj[:, None], texcrd_hit,
                        jnp.where(scatter_evt[:, None], 0.0, cam_ops.sky_texcrd(d)))
     ext_f = jnp.where(external, 1.0, -1.0)[:, None]
-    e1 = gather_rows(scene.tri_e1, tri)
-    e2 = gather_rows(scene.tri_e2, tri)
     flat_n = normalize(cross(e1, e2)) * ext_f
-    vtx_n = normalize(gather_rows(scene.tri_n0, tri) * b0[:, None]
-                      + gather_rows(scene.tri_n1, tri) * b1[:, None]
-                      + gather_rows(scene.tri_n2, tri) * b2[:, None])
+    vtx_n = normalize(n0_w * b0[:, None] + n1_w * b1[:, None]
+                      + n2_w * b2[:, None])
 
     mat = material_fetch(scene, surf_mat, texcrd)
 
@@ -595,9 +694,15 @@ def ray_cast(scene: DeviceScene, cam: DeviceCamera, cfg: RenderConfig,
     depth = state.depth_buf[pixel_y, pixel_x]
     near = depth * 0.99 * jnp.ones(1)
     far = depth * 1.01 * jnp.ones(1)
-    t, tid, b1, b2, ext = closest_hit(scene, cfg, o, d, near, far)
+    t, tid, inst_id, b1, b2, ext = closest_hit(scene, cfg, o, d, near, far)
     hit = tid[0] >= 0
     tri = jnp.maximum(tid[0], 0)
-    inst = jnp.where(hit, scene.tri_inst[tri], -1)
-    mat = jnp.where(hit, scene.tri_mat[tri], -1)
+    if scene.two_level:
+        inst = jnp.where(hit, inst_id[0], -1)
+        slot = scene.tri_slot[tri]
+        mat = jnp.where(hit,
+                        scene.inst_slot_map[jnp.maximum(inst, 0), slot], -1)
+    else:
+        inst = jnp.where(hit, scene.tri_inst[tri], -1)
+        mat = jnp.where(hit, scene.tri_mat[tri], -1)
     return inst, mat

@@ -78,7 +78,9 @@ class Renderer:
         v = self.world.content_version()
         if self.scene is None or v != self._scene_version:
             self.time_table.reset()
-            self.scene = compile_world(self.world, leaf_size=self.config.bvh_leaf_size)
+            self.scene = compile_world(self.world,
+                                       leaf_size=self.config.bvh_leaf_size,
+                                       two_level=self.config.two_level)
             self._scene_version = v
             # world change invalidates progressive accumulation (reference
             # update-flag path, cuda_engine_renderer.cu:91-113)

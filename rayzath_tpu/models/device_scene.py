@@ -38,6 +38,9 @@ from flax import struct
 from ..ops.bvh import build_bvh, compute_skip_links, triangle_aabbs, FlatBVH
 from ..ops.traverse import build_aabb_links
 from ..ops.traverse_packet import build_packet_table
+from ..ops.segments import (SEG_NODES, build_segmented_blas, build_tlas_rows,
+                            build_unit_table, transform_matrices,
+                            unit_world_aabb)
 from ..ops.intersect import triangle_frames
 from ..utils.hostmath import normalize as nrm
 from .material import Material
@@ -106,6 +109,21 @@ class DeviceScene:
     dir_emission: jnp.ndarray    # [D]
     dir_cos: jnp.ndarray         # [D]
 
+    # two-level (TLAS/BLAS) structure — present only when two_level is True
+    # (reference TLAS + per-mesh BLAS, cuda_bvh.cuh:114-171 +
+    # cuda_instance.cuh:35-264; shared object-space meshes, no duplication).
+    # In this mode tri_* hold OBJECT-space per-mesh geometry and the soup
+    # traversal fields above are inert dummies.
+    tlas_tab: Any = None        # [TN,128] TLAS rows (ops/segments.py)
+    unit_tab: Any = None        # [U,128] unit rows (transform + segment ref)
+    seg_rows: Any = None        # [Rw,128] segmented BLAS packet rows
+    inst_fwd: Any = None        # [I,12] object->world 3x4 (row-major)
+    inst_nrm: Any = None        # [I,9] normal matrix 3x3 (row-major)
+    inst_slot_map: Any = None   # [I,64] i32 material slot -> global mat id
+    tri_slot: Any = None        # [F] i32 mesh-local material slot
+    exp_tri: Any = None         # [K] i32 expanded (instance,tri) -> tri
+    exp_inst: Any = None        # [K] i32 expanded (instance,tri) -> instance
+
     # static metadata (not traced)
     n_triangles: int = struct.field(pytree_node=False, default=0)
     n_materials: int = struct.field(pytree_node=False, default=2)
@@ -113,6 +131,8 @@ class DeviceScene:
     n_direct_lights: int = struct.field(pytree_node=False, default=0)
     n_instances: int = struct.field(pytree_node=False, default=0)
     has_maps: bool = struct.field(pytree_node=False, default=False)
+    two_level: bool = struct.field(pytree_node=False, default=False)
+    seg_nodes: int = struct.field(pytree_node=False, default=SEG_NODES)
 
 
 @struct.dataclass
@@ -190,8 +210,196 @@ def _pad_rows(a: np.ndarray, n: int, fill=0.0) -> np.ndarray:
     return np.concatenate([a, pad], axis=0)
 
 
-def compile_world(world: World, leaf_size: int = 8) -> DeviceScene:
-    """Flatten the host world into a DeviceScene (see module docstring)."""
+def _mesh_object_arrays(mesh):
+    """Object-space SoA shading arrays for one mesh (original triangle order):
+    (v0, e1, e2, n0, n1, n2, t0, t1, t2, slot)."""
+    v = np.asarray(mesh.vertices, np.float32)
+    v0 = v[mesh.tri_v[:, 0]]
+    v1 = v[mesh.tri_v[:, 1]]
+    v2 = v[mesh.tri_v[:, 2]]
+    flat = nrm(np.cross(v1 - v0, v2 - v0)).astype(np.float32)
+    if len(mesh.normals):
+        on = nrm(np.asarray(mesh.normals, np.float32))
+
+        def vtx_normal(col):
+            idx = mesh.tri_n[:, col]
+            ok = idx >= 0
+            out = flat.copy()
+            out[ok] = on[idx[ok]]
+            return out
+        n0, n1, n2 = vtx_normal(0), vtx_normal(1), vtx_normal(2)
+    else:
+        n0 = n1 = n2 = flat
+    if len(mesh.texcrds):
+        def vtx_uv(col):
+            idx = mesh.tri_t[:, col]
+            ok = idx >= 0
+            out = np.zeros((len(idx), 2), np.float32)
+            out[ok] = np.asarray(mesh.texcrds, np.float32)[idx[ok]]
+            return out
+        t0, t1, t2 = vtx_uv(0), vtx_uv(1), vtx_uv(2)
+    else:
+        t0 = t1 = t2 = np.zeros((len(v0), 2), np.float32)
+    slot = np.clip(np.asarray(mesh.tri_mat, np.int64), 0, 63).astype(np.int32)
+    return v0, v1 - v0, v2 - v0, n0, n1, n2, t0, t1, t2, slot
+
+
+def _two_level_arrays(world: World, mat_index: dict, leaf_size: int,
+                      seg_nodes: int) -> dict:
+    """Two-level geometry: shared per-mesh segmented BLAS (object space) +
+    per-instance transforms + TLAS over (instance x segment) units. The
+    non-duplicating counterpart of the world-space soup (reference
+    cuda_bvh.cuh:114-171 + cuda_instance.cuh:167-264)."""
+    meshes: list = []
+    mesh_pos: dict[int, int] = {}
+    valid: list[tuple[int, Any]] = []
+    for gi, inst in enumerate(world.instances):
+        m = inst.mesh
+        if m is None or m.triangle_count == 0:
+            continue
+        if id(m) not in mesh_pos:
+            mesh_pos[id(m)] = len(meshes)
+            meshes.append(m)
+        valid.append((gi, inst))
+
+    arrays = [[] for _ in range(9)]
+    slots = []
+    blas_list = []
+    mesh_tri_base: list[int] = []
+    tri_base = 0
+    for m in meshes:
+        v0, e1, e2, n0, n1, n2, t0, t1, t2, slot = _mesh_object_arrays(m)
+        blas = build_segmented_blas(v0, e1, e2, slot, tri_base,
+                                    seg_nodes=seg_nodes, leaf_size=leaf_size)
+        o = blas.order
+        for lst, arr in zip(arrays, (v0, e1, e2, n0, n1, n2, t0, t1, t2)):
+            lst.append(arr[o])
+        slots.append(slot[o])
+        blas_list.append(blas)
+        mesh_tri_base.append(tri_base)
+        tri_base += len(v0)
+
+    n_inst_total = len(world.instances)
+    inst_fwd = np.tile(np.eye(3, 4, dtype=np.float32).reshape(1, 12),
+                       (max(n_inst_total, 1), 1))
+    inst_nrm = np.tile(np.eye(3, dtype=np.float32).reshape(1, 9),
+                       (max(n_inst_total, 1), 1))
+    inst_slot_map = np.full((max(n_inst_total, 1), 64), DEFAULT_MATERIAL_ID,
+                            np.int32)
+
+    rows_parts, row_base = [], 0
+    mesh_row_base = []
+    for blas in blas_list:
+        rows_parts.append(blas.rows)
+        mesh_row_base.append(row_base)
+        row_base += len(blas.rows)
+
+    u_inv, u_base, u_cnt, u_inst, u_min, u_max = [], [], [], [], [], []
+    exp_tri_parts, exp_inst_parts = [], []
+    for gi, inst in valid:
+        mi = mesh_pos[id(inst.mesh)]
+        blas = blas_list[mi]
+        fwd, inv, nmat = transform_matrices(inst.effective_transform())
+        inst_fwd[gi] = fwd.reshape(12)
+        inst_nrm[gi] = nmat.reshape(9)
+        for s, mat in enumerate(inst.materials[:64]):
+            if mat is not None:
+                inst_slot_map[gi, s] = mat_index.get(id(mat),
+                                                     DEFAULT_MATERIAL_ID)
+        wmin, wmax = unit_world_aabb(fwd, blas.seg_min, blas.seg_max)
+        s = len(blas.seg_base)
+        u_inv.append(np.tile(inv[None], (s, 1, 1)))
+        u_base.append(blas.seg_base + mesh_row_base[mi])
+        u_cnt.append(blas.seg_count)
+        u_inst.append(np.full(s, gi, np.int32))
+        u_min.append(wmin)
+        u_max.append(wmax)
+        ntri = inst.mesh.triangle_count
+        exp_tri_parts.append(np.arange(ntri, dtype=np.int32)
+                             + mesh_tri_base[mi])
+        exp_inst_parts.append(np.full(ntri, gi, np.int32))
+
+    if u_base:
+        unit_tab = build_unit_table(np.concatenate(u_inv),
+                                    np.concatenate(u_base),
+                                    np.concatenate(u_cnt),
+                                    np.concatenate(u_inst))
+        tlas_tab = build_tlas_rows(np.concatenate(u_min),
+                                   np.concatenate(u_max))
+        exp_tri = np.concatenate(exp_tri_parts)
+        exp_inst = np.concatenate(exp_inst_parts)
+    else:
+        unit_tab = build_unit_table(np.zeros((0, 3, 4), np.float32),
+                                    np.zeros(0, np.int32),
+                                    np.zeros(0, np.int32),
+                                    np.zeros(0, np.int32))
+        tlas_tab = build_tlas_rows(np.zeros((0, 3), np.float32),
+                                   np.zeros((0, 3), np.float32))
+        exp_tri = np.zeros(1, np.int32)
+        exp_inst = np.zeros(1, np.int32)
+
+    # pad rows by one segment so a streamed DMA from the last segment's base
+    # never reads past the end of the table
+    rows_parts.append(np.zeros((seg_nodes, 128), np.float32))
+    seg_rows = np.concatenate(rows_parts, axis=0)
+
+    if tri_base:
+        tri_v0, tri_e1, tri_e2, tri_n0, tri_n1, tri_n2, tri_t0, tri_t1, tri_t2 = (
+            np.concatenate(a) for a in arrays)
+        tri_slot = np.concatenate(slots)
+    else:
+        tri_v0 = tri_e1 = tri_e2 = np.zeros((0, 3), np.float32)
+        tri_n0 = tri_n1 = tri_n2 = np.zeros((0, 3), np.float32)
+        tri_t0 = tri_t1 = tri_t2 = np.zeros((0, 2), np.float32)
+        tri_slot = np.zeros(0, np.int32)
+
+    n_tri = tri_base
+    n_tri_pad = max(8, -(-n_tri // 8) * 8)
+    geo = dict(
+        tri_v0=jnp.asarray(_pad_rows(tri_v0, n_tri_pad, 1e30)),
+        tri_e1=jnp.asarray(_pad_rows(tri_e1, n_tri_pad, 0.0)),
+        tri_e2=jnp.asarray(_pad_rows(tri_e2, n_tri_pad, 0.0)),
+        tri_n0=jnp.asarray(_pad_rows(tri_n0, n_tri_pad, 0.0)),
+        tri_n1=jnp.asarray(_pad_rows(tri_n1, n_tri_pad, 0.0)),
+        tri_n2=jnp.asarray(_pad_rows(tri_n2, n_tri_pad, 0.0)),
+        tri_t0=jnp.asarray(_pad_rows(tri_t0, n_tri_pad, 0.0)),
+        tri_t1=jnp.asarray(_pad_rows(tri_t1, n_tri_pad, 0.0)),
+        tri_t2=jnp.asarray(_pad_rows(tri_t2, n_tri_pad, 0.0)),
+        tri_slot=jnp.asarray(_pad_rows(tri_slot, n_tri_pad, 0)),
+        # inert soup fields (the two-level path never reads them)
+        tri_mat=jnp.zeros(n_tri_pad, jnp.int32),
+        tri_inst=jnp.full(n_tri_pad, -1, jnp.int32),
+        tri_pw=jnp.zeros((3, 3), jnp.float32),
+        tri_pc=jnp.zeros(3, jnp.float32),
+        aabb_links=jnp.zeros((8, 8), jnp.float32),
+        node_begin=jnp.zeros(1, jnp.int32),
+        node_count=jnp.zeros(1, jnp.int32),
+        pkt_tab=jnp.zeros((1, 128), jnp.float32),
+        # two-level structure
+        tlas_tab=jnp.asarray(tlas_tab),
+        unit_tab=jnp.asarray(unit_tab),
+        seg_rows=jnp.asarray(seg_rows),
+        inst_fwd=jnp.asarray(inst_fwd),
+        inst_nrm=jnp.asarray(inst_nrm),
+        inst_slot_map=jnp.asarray(inst_slot_map),
+        exp_tri=jnp.asarray(exp_tri),
+        exp_inst=jnp.asarray(exp_inst),
+    )
+    return geo, n_tri
+
+
+def compile_world(world: World, leaf_size: int = 8,
+                  two_level: Optional[bool] = None,
+                  seg_nodes: int = SEG_NODES) -> DeviceScene:
+    """Flatten the host world into a DeviceScene (see module docstring).
+
+    ``two_level`` selects the acceleration structure: False = world-space
+    triangle soup with one flattened BVH (fastest for small scenes, duplicates
+    instanced geometry); True = shared per-mesh segmented BLAS + TLAS over
+    instances (reference two-level semantics; scales past VMEM via streaming).
+    None (default) picks automatically: two-level when instancing would
+    duplicate substantially or the expanded soup would overflow the resident
+    packet table."""
     # ---- material table ----
     materials: list[Material] = [world.material, world.default_material] + list(world.materials)
     mat_index = {id(m): i for i, m in enumerate(materials)}
@@ -233,6 +441,37 @@ def compile_world(world: World, leaf_size: int = 8) -> DeviceScene:
           map_ref(m.roughness_map), map_ref(m.emission_map)] for m in materials],
         np.int32,
     )
+
+    # ---- acceleration-structure mode ----
+    live = [i for i in world.instances
+            if i.mesh is not None and i.mesh.triangle_count > 0]
+    expanded = sum(i.mesh.triangle_count for i in live)
+    unique = sum(m.triangle_count
+                 for m in {id(i.mesh): i.mesh for i in live}.values())
+    if two_level is None:
+        # two-level when the expanded soup would overflow the resident packet
+        # table (~50k tris at leaf 8), or instancing duplicates 2x+ a scene
+        # that is past the brute-force sweet spot
+        two_level = (expanded > 50_000
+                     or (expanded > 8192 and expanded >= 2 * unique))
+
+    if two_level:
+        geo, n_tri = _two_level_arrays(world, mat_index, leaf_size, seg_nodes)
+        return DeviceScene(
+            **geo,
+            mat_color=jnp.asarray(mat_color), mat_metalness=jnp.asarray(mat_metalness),
+            mat_roughness=jnp.asarray(mat_roughness), mat_emission=jnp.asarray(mat_emission),
+            mat_ior=jnp.asarray(mat_ior), mat_scattering=jnp.asarray(mat_scattering),
+            mat_maps=jnp.asarray(mat_maps),
+            **_atlas_fields(color_atlas, scalar_atlas, map_rect, map_flags, map_uv),
+            **_light_fields(world),
+            n_triangles=n_tri, n_materials=n_mat,
+            n_spot_lights=len(world.spot_lights),
+            n_direct_lights=len(world.direct_lights),
+            n_instances=len(world.instances),
+            has_maps=k > 0,
+            two_level=True, seg_nodes=seg_nodes,
+        )
 
     # ---- world-space triangle soup ----
     v0s, e1s, e2s = [], [], []
@@ -334,22 +573,6 @@ def compile_world(world: World, leaf_size: int = 8) -> DeviceScene:
         bvh.node_min, bvh.node_max, bvh.node_begin, bvh.node_count,
         first8, skip8, tri_v0, tri_e1, tri_e2)
 
-    # ---- lights (padded to >=1 so shapes stay static; counts gate usage) ----
-    n_spot = len(world.spot_lights)
-    n_direct = len(world.direct_lights)
-    sl = list(world.spot_lights)
-    dl = list(world.direct_lights)
-    spot_pos = np.stack([l.position for l in sl]) if sl else np.zeros((1, 3), np.float32)
-    spot_dir = np.stack([l.direction for l in sl]) if sl else np.tile([[0, -1, 0]], (1, 1)).astype(np.float32)
-    spot_color = np.stack([l.color for l in sl]) if sl else np.ones((1, 3), np.float32)
-    spot_size = np.array([l.size for l in sl], np.float32) if sl else np.zeros(1, np.float32)
-    spot_emission = np.array([l.emission for l in sl], np.float32) if sl else np.zeros(1, np.float32)
-    spot_cos = np.array([l.cos_beam_angle for l in sl], np.float32) if sl else np.ones(1, np.float32)
-    dir_dir = np.stack([l.direction for l in dl]) if dl else np.tile([[0, -1, 0]], (1, 1)).astype(np.float32)
-    dir_color = np.stack([l.color for l in dl]) if dl else np.ones((1, 3), np.float32)
-    dir_emission = np.array([l.emission for l in dl], np.float32) if dl else np.zeros(1, np.float32)
-    dir_cos = np.array([l.cos_angular_size for l in dl], np.float32) if dl else np.ones(1, np.float32)
-
     return DeviceScene(
         tri_v0=jnp.asarray(tri_v0), tri_e1=jnp.asarray(tri_e1), tri_e2=jnp.asarray(tri_e2),
         tri_n0=jnp.asarray(tri_n0), tri_n1=jnp.asarray(tri_n1), tri_n2=jnp.asarray(tri_n2),
@@ -363,15 +586,41 @@ def compile_world(world: World, leaf_size: int = 8) -> DeviceScene:
         mat_roughness=jnp.asarray(mat_roughness), mat_emission=jnp.asarray(mat_emission),
         mat_ior=jnp.asarray(mat_ior), mat_scattering=jnp.asarray(mat_scattering),
         mat_maps=jnp.asarray(mat_maps),
+        **_atlas_fields(color_atlas, scalar_atlas, map_rect, map_flags, map_uv),
+        **_light_fields(world),
+        n_triangles=n_tri, n_materials=n_mat,
+        n_spot_lights=len(world.spot_lights),
+        n_direct_lights=len(world.direct_lights),
+        n_instances=len(world.instances),
+        has_maps=k > 0,
+    )
+
+
+def _atlas_fields(color_atlas, scalar_atlas, map_rect, map_flags, map_uv):
+    return dict(
         color_atlas=jnp.asarray(color_atlas), scalar_atlas=jnp.asarray(scalar_atlas),
-        map_rect=jnp.asarray(map_rect), map_flags=jnp.asarray(map_flags), map_uv=jnp.asarray(map_uv),
+        map_rect=jnp.asarray(map_rect), map_flags=jnp.asarray(map_flags),
+        map_uv=jnp.asarray(map_uv))
+
+
+def _light_fields(world: World) -> dict:
+    """Light SoA tables (padded to >=1 so shapes stay static; counts gate
+    usage)."""
+    sl = list(world.spot_lights)
+    dl = list(world.direct_lights)
+    spot_pos = np.stack([l.position for l in sl]) if sl else np.zeros((1, 3), np.float32)
+    spot_dir = np.stack([l.direction for l in sl]) if sl else np.tile([[0, -1, 0]], (1, 1)).astype(np.float32)
+    spot_color = np.stack([l.color for l in sl]) if sl else np.ones((1, 3), np.float32)
+    spot_size = np.array([l.size for l in sl], np.float32) if sl else np.zeros(1, np.float32)
+    spot_emission = np.array([l.emission for l in sl], np.float32) if sl else np.zeros(1, np.float32)
+    spot_cos = np.array([l.cos_beam_angle for l in sl], np.float32) if sl else np.ones(1, np.float32)
+    dir_dir = np.stack([l.direction for l in dl]) if dl else np.tile([[0, -1, 0]], (1, 1)).astype(np.float32)
+    dir_color = np.stack([l.color for l in dl]) if dl else np.ones((1, 3), np.float32)
+    dir_emission = np.array([l.emission for l in dl], np.float32) if dl else np.zeros(1, np.float32)
+    dir_cos = np.array([l.cos_angular_size for l in dl], np.float32) if dl else np.ones(1, np.float32)
+    return dict(
         spot_pos=jnp.asarray(spot_pos), spot_dir=jnp.asarray(spot_dir),
         spot_color=jnp.asarray(spot_color), spot_size=jnp.asarray(spot_size),
         spot_emission=jnp.asarray(spot_emission), spot_cos_angle=jnp.asarray(spot_cos),
         dir_dir=jnp.asarray(dir_dir), dir_color=jnp.asarray(dir_color),
-        dir_emission=jnp.asarray(dir_emission), dir_cos=jnp.asarray(dir_cos),
-        n_triangles=n_tri, n_materials=n_mat,
-        n_spot_lights=n_spot, n_direct_lights=n_direct,
-        n_instances=len(world.instances),
-        has_maps=k > 0,
-    )
+        dir_emission=jnp.asarray(dir_emission), dir_cos=jnp.asarray(dir_cos))

@@ -301,6 +301,13 @@ def refine_hit(origin, direction, tri_id, tri_v0, tri_e1, tri_e2):
     v0 = gather_rows(tri_v0, idx)
     e1 = gather_rows(tri_e1, idx)
     e2 = gather_rows(tri_e2, idx)
+    return refine_tri(origin, direction, v0, e1, e2)
+
+
+def refine_tri(origin, direction, v0, e1, e2):
+    """Per-ray explicit Moller-Trumbore refine: one triangle per ray, all
+    [R,3]. Returns (t, b1, b2, det). Used directly by the two-level path,
+    which transforms the hit triangle to world space first."""
     pvec = cross(direction, e2)
     det = dot(e1, pvec)
     det = det + jnp.where(jnp.abs(det) < DET_EPS, DET_EPS, 0.0)

@@ -224,10 +224,88 @@ def textured_room(width: int = 512, height: int = 512) -> World:
     return w
 
 
+def mesh_heavy(width: int = 512, height: int = 512,
+               resolution: int = 256) -> World:
+    """One big displaced mesh (~2*resolution^2 triangles; 131k at the default)
+    on a ground plane. Nothing here fits a VMEM-resident packet table — this
+    is the honest BVH-scaling benchmark: traversal must stream the segmented
+    BLAS from HBM (ops/traverse_tlas.py)."""
+    w = World()
+    ground = w.generate_material("paper")
+    body = w.create_material("body", color=(0.7, 0.55, 0.4, 1.0),
+                             roughness=0.35, ior=1.4)
+    sph = w.generate_mesh("sphere", resolution=resolution)
+    # radial displacement turns the sphere into a lumpy blob so the BVH is
+    # non-trivial (deep, uneven subtrees) and normals stay per-vertex smooth
+    v = sph.vertices
+    r = np.linalg.norm(v, axis=1, keepdims=True)
+    bump = (0.18 * np.sin(6.0 * v[:, 0:1] / np.maximum(r, 1e-6))
+            * np.cos(5.0 * v[:, 1:2] / np.maximum(r, 1e-6))
+            + 0.1 * np.sin(9.0 * v[:, 2:3] / np.maximum(r, 1e-6)))
+    sph.vertices = (v * (1.0 + bump)).astype(np.float32)
+    sph.normals = np.zeros((0, 3), np.float32)  # flat normals from geometry
+    sph.tri_n = np.full_like(sph.tri_v, -1)
+    sph.name = "blob"
+    w.create_instance(name="blob", mesh=sph, materials=[body],
+                      transform=Transform(position=(0, 0.2, 0)))
+    plane = w.generate_mesh("plane", sides=4, width=10.0, height=10.0)
+    w.create_instance(name="ground", mesh=plane, materials=[ground],
+                      transform=Transform(position=(0, -1.05, 0)))
+    w.create_direct_light(direction=(-0.5, -1.0, 0.4), emission=7.0,
+                          angular_size=0.08)
+    w.material.emission = 0.5
+    cam = w.create_camera("camera", position=(0, 0.9, -3.6),
+                          resolution=(width, height), fov=float(np.pi / 3),
+                          focal_distance=3.6, aperture=0.001,
+                          exposure_time=5.0)
+    cam.look_at((0, 0.0, 0))
+    return w
+
+
+def instanced_field(width: int = 512, height: int = 512,
+                    n: int = 12, resolution: int = 48) -> World:
+    """n*n instances of ONE mesh (~2*resolution^2 tris each; 663k expanded
+    triangles at the defaults, one 4.6k-tri BLAS in memory). Exercises the
+    TLAS-over-instances path (reference cuda_bvh.cuh:114-171) at a scale the
+    world-space soup could not hold."""
+    w = World()
+    ground = w.generate_material("paper")
+    mats = [w.create_material(f"m{i}", color=c, roughness=rg, ior=1.45)
+            for i, (c, rg) in enumerate([
+                ((0.8, 0.3, 0.25, 1.0), 0.6), ((0.3, 0.6, 0.8, 1.0), 0.2),
+                ((0.85, 0.7, 0.3, 1.0), 0.05), ((0.4, 0.75, 0.4, 1.0), 0.9)])]
+    sph = w.generate_mesh("sphere", resolution=resolution)
+    plane = w.generate_mesh("plane", sides=4, width=40.0, height=40.0)
+    w.create_instance(name="ground", mesh=plane, materials=[ground],
+                      transform=Transform(position=(0, -0.5, 0)))
+    rng = np.random.default_rng(5)
+    for i in range(n):
+        for j in range(n):
+            s = float(0.25 + 0.3 * rng.random())
+            x = (i - (n - 1) / 2) * 1.25 + float(rng.normal(0, 0.15))
+            z = (j - (n - 1) / 2) * 1.25 + float(rng.normal(0, 0.15))
+            w.create_instance(
+                name=f"ball {i}-{j}", mesh=sph,
+                materials=[mats[(i * n + j) % len(mats)]],
+                transform=Transform(position=(x, -0.5 + s, z),
+                                    scale=(s, s, s)))
+    w.create_direct_light(direction=(-0.4, -1.0, 0.5), emission=6.0,
+                          angular_size=0.1)
+    w.material.emission = 0.55
+    cam = w.create_camera("camera", position=(0, 4.2, -9.5),
+                          resolution=(width, height), fov=float(np.pi / 3),
+                          focal_distance=10.0, aperture=0.001,
+                          exposure_time=6.0)
+    cam.look_at((0, 0.0, 0))
+    return w
+
+
 SCENES = {
     "cornell_box": cornell_box,
     "teapot_like": teapot_like,
     "multi_light": multi_light,
     "glass_and_fog": glass_and_fog,
     "textured_room": textured_room,
+    "mesh_heavy": mesh_heavy,
+    "instanced_field": instanced_field,
 }
