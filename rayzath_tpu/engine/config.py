@@ -43,6 +43,11 @@ class RenderConfig:
     # would duplicate geometry or the scene overflows the resident packet
     # table; world-space soup otherwise). True/False forces the choice.
     two_level: Optional[bool] = None
+    # Sort rays by a spatial-directional coherence key before packet/TLAS
+    # traversal (ops/sort_rays.py). The shared block walk visits the union of
+    # its rays' nodes: coherent blocks keep that union small; incoherent
+    # bounce wavefronts would otherwise walk the whole tree per block.
+    ray_sort: bool = True
 
     def with_(self, **kw) -> "RenderConfig":
         return replace(self, **kw)

@@ -40,6 +40,7 @@ from ..ops import texture as tex_ops
 from ..ops.gather import gather_rows
 from ..ops.intersect import (project_closest, project_shadow, refine_hit,
                              refine_tri)
+from ..ops.sort_rays import sort_perm
 from ..ops.traverse import bvh_closest, bvh_shadow
 from ..ops.traverse_packet import (packet_closest, packet_shadow,
                                    PACKET_MAX_NODES, BLOCK as _PACKET_BLOCK)
@@ -136,6 +137,25 @@ def _untile(x, hw):
         (h * w,) + rest)
 
 
+def _run_coherent(cfg: RenderConfig, hw, o, d, extras, run):
+    """Run a packet/TLAS traversal on a coherence-maximized ray order.
+
+    ``run(o, d, *extras) -> tuple of per-ray arrays``. Preferred: sort rays by
+    the spatial-directional key (ops/sort_rays.py) and scatter results back —
+    this keeps the shared block walks tight even for incoherent bounce
+    wavefronts. Fallback (``cfg.ray_sort=False``): 32x32 image tiling, which
+    only helps the primary-dominated passes."""
+    if cfg.ray_sort:
+        perm, inv = sort_perm(jax.lax.stop_gradient(o),
+                              jax.lax.stop_gradient(d))
+        outs = run(o[perm], d[perm], *[e[perm] for e in extras])
+        return tuple(x[inv] for x in outs)
+    if _tileable(hw, o.shape[0]):
+        outs = run(_tile(o, hw), _tile(d, hw), *[_tile(e, hw) for e in extras])
+        return tuple(_untile(x, hw) for x in outs)
+    return run(o, d, *extras)
+
+
 def _apply_fwd(fwd_rows, v, translate: bool):
     """Apply per-ray object->world 3x4 transforms ([R,12] row-major) to [R,3]
     vectors (points when ``translate``)."""
@@ -176,16 +196,11 @@ def closest_hit(scene: DeviceScene, cfg: RenderConfig, o, d, near, far,
     (t,b1,b2) re-derived differentiably (path-replay). ``inst_id`` is None on
     the soup path (instance resolved via tri_inst there)."""
     if scene.two_level:
-        if _tileable(hw, o.shape[0]):
-            t, tid, inst = tlas_closest(
-                _tile(o, hw), _tile(d, hw), _tile(near, hw), _tile(far, hw),
-                scene.tlas_tab, scene.unit_tab, scene.seg_rows,
-                scene.seg_nodes)
-            t, tid, inst = _untile(t, hw), _untile(tid, hw), _untile(inst, hw)
-        else:
-            t, tid, inst = tlas_closest(o, d, near, far, scene.tlas_tab,
-                                        scene.unit_tab, scene.seg_rows,
-                                        scene.seg_nodes)
+        t, tid, inst = _run_coherent(
+            cfg, hw, o, d, (near, far),
+            lambda o, d, near, far: tlas_closest(
+                o, d, near, far, scene.tlas_tab, scene.unit_tab,
+                scene.seg_rows, scene.seg_nodes))
         v0, e1, e2 = world_tri(scene, jnp.maximum(tid, 0),
                                jnp.maximum(inst, 0))
         t_r, b1_r, b2_r, det = refine_tri(o, d, v0, e1, e2)
@@ -200,13 +215,10 @@ def closest_hit(scene: DeviceScene, cfg: RenderConfig, o, d, near, far,
         t, tid = project_closest(o, d, near, far, scene.tri_pw, scene.tri_pc,
                                  chunk=min(cfg.chunk, scene.tri_v0.shape[0]))
     elif _use_packet(scene, cfg):
-        if _tileable(hw, o.shape[0]):
-            t, tid = packet_closest(_tile(o, hw), _tile(d, hw),
-                                    _tile(near, hw), _tile(far, hw),
-                                    scene.pkt_tab)
-            t, tid = _untile(t, hw), _untile(tid, hw)
-        else:
-            t, tid = packet_closest(o, d, near, far, scene.pkt_tab)
+        t, tid = _run_coherent(
+            cfg, hw, o, d, (near, far),
+            lambda o, d, near, far: packet_closest(o, d, near, far,
+                                                   scene.pkt_tab))
     else:
         hit = bvh_closest(o, d, near, far,
                           scene.aabb_links, scene.node_begin, scene.node_count,
@@ -245,10 +257,7 @@ def shadow_test(scene: DeviceScene, cfg: RenderConfig, o, d, dist, hw=None):
                                scene.tri_v0, scene.tri_e1, scene.tri_e2,
                                scene.tri_slot, replay, scene.seg_nodes)
 
-        if _tileable(hw, o.shape[0]):
-            rgb, a = run(_tile(o, hw), _tile(d, hw), _tile(dist, hw))
-            return _untile(rgb, hw), _untile(a, hw)
-        return run(o, d, dist)
+        return _run_coherent(cfg, hw, o, d, (dist,), run)
 
     op_rgb = scene.mat_color[scene.tri_mat][:, :3]
     op_a = 1.0 - scene.mat_color[scene.tri_mat][:, 3]
@@ -257,14 +266,11 @@ def shadow_test(scene: DeviceScene, cfg: RenderConfig, o, d, dist, hw=None):
                               op_rgb, op_a,
                               chunk=min(cfg.chunk, scene.tri_v0.shape[0]))
     if _use_packet(scene, cfg):
-        if _tileable(hw, o.shape[0]):
-            rgb, a = packet_shadow(_tile(o, hw), _tile(d, hw), _tile(dist, hw),
-                                   scene.pkt_tab, scene.tri_v0, scene.tri_e1,
-                                   scene.tri_e2, op_rgb, op_a)
-            return _untile(rgb, hw), _untile(a, hw)
-        return packet_shadow(o, d, dist, scene.pkt_tab,
-                             scene.tri_v0, scene.tri_e1, scene.tri_e2,
-                             op_rgb, op_a)
+        return _run_coherent(
+            cfg, hw, o, d, (dist,),
+            lambda o, d, dist: packet_shadow(o, d, dist, scene.pkt_tab,
+                                             scene.tri_v0, scene.tri_e1,
+                                             scene.tri_e2, op_rgb, op_a))
     return bvh_shadow(o, d, dist,
                       scene.aabb_links, scene.node_begin, scene.node_count,
                       scene.tri_v0, scene.tri_e1, scene.tri_e2, op_rgb, op_a,
@@ -453,13 +459,31 @@ def n_streams(cfg: RenderConfig, scene: DeviceScene) -> int:
     return ns
 
 
+def pass_uniforms(key, row0, height: int, width: int, ns: int):
+    """Uniform streams for image rows [row0, row0 + height) at one pass.
+
+    Keyed per GLOBAL image row (fold_in(key, global_row)), so the streams are
+    a pure function of (key, row) independent of how the wavefront is sharded:
+    a shard_map shard that owns rows [row0, row0+h) draws bit-identical
+    uniforms to the same rows of a single-device render. This is the sharded
+    analog of the counter-based RNG contract (module docstring)."""
+    rows = jnp.arange(height) + row0
+    row_keys = jax.vmap(lambda r: jax.random.fold_in(key, r))(rows)
+    u = jax.vmap(lambda k: jax.random.uniform(k, (width, ns), jnp.float32))(
+        row_keys)
+    return u.reshape(height * width, ns)
+
+
 def bounce_step(scene: DeviceScene, cam: DeviceCamera, cfg: RenderConfig,
-                state: RenderState, key) -> RenderState:
+                state: RenderState, key, row0=0) -> RenderState:
     """Advance every pixel's path by one bounce (reference
-    renderCumulativePass, cuda_render_kernel.cu:67-121)."""
+    renderCumulativePass, cuda_render_kernel.cu:67-121).
+
+    ``row0``: global image row of this wavefront's first row (non-zero only
+    under the shard_map multi-chip path, parallel/mesh.py)."""
     H, W = state.height, state.width
     R = H * W
-    u = jax.random.uniform(key, (R, n_streams(cfg, scene)), jnp.float32)
+    u = pass_uniforms(key, row0, H, W, n_streams(cfg, scene))
 
     o, d = state.origin, state.direction
     depth0 = state.path_depth
@@ -628,7 +652,7 @@ def bounce_step(scene: DeviceScene, cam: DeviceCamera, cfg: RenderConfig,
 
     # --- continue or regenerate (cuda_render_kernel.cu:107-120) ---
     new_medium = jnp.where(refracted, behind_mat, med)
-    pix = cam_ops.pixel_grid(W, H)
+    pix = cam_ops.pixel_grid(W, H, row0)
     cam_o, cam_d = cam_ops.generate_rays(cam, pix, u[:, 4:8])
 
     tm = terminated[:, None]
@@ -653,14 +677,14 @@ def bounce_step(scene: DeviceScene, cam: DeviceCamera, cfg: RenderConfig,
 
 def _render_steps_impl(scene: DeviceScene, cam: DeviceCamera, cfg: RenderConfig,
                        state: RenderState, key, n_steps: int,
-                       remat: bool = False) -> RenderState:
+                       remat: bool = False, row0=0) -> RenderState:
     step = bounce_step
     if remat:
         step = jax.checkpoint(bounce_step, static_argnums=(2,))
 
     def body(st, i):
         k = jax.random.fold_in(key, st.pass_idx)
-        return step(scene, cam, cfg, st, k), None
+        return step(scene, cam, cfg, st, k, row0), None
 
     state, _ = jax.lax.scan(body, state, jnp.arange(n_steps))
     return state

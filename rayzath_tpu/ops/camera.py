@@ -13,9 +13,13 @@ import jax.numpy as jnp
 from .vec import normalize, TWO_PI
 
 
-def pixel_grid(width: int, height: int):
-    """Flat pixel coordinates [R,2] (x, y) in row-major order, R = W*H."""
-    y, x = jnp.meshgrid(jnp.arange(height, dtype=jnp.float32),
+def pixel_grid(width: int, height: int, row0=0):
+    """Flat pixel coordinates [R,2] (x, y) in row-major order, R = W*height.
+
+    ``row0`` offsets the y coordinates: a row-sharded wavefront (one shard =
+    ``height`` consecutive image rows starting at global row ``row0``)
+    generates exactly the rays the full-image grid would."""
+    y, x = jnp.meshgrid(jnp.arange(height, dtype=jnp.float32) + row0,
                         jnp.arange(width, dtype=jnp.float32), indexing="ij")
     return jnp.stack([x.ravel(), y.ravel()], axis=1)
 

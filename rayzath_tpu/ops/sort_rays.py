@@ -1,0 +1,78 @@
+"""Ray-coherence sorting for packet traversal.
+
+The packet/TLAS kernels (ops/traverse_packet.py, ops/traverse_tlas.py) run ONE
+shared skip-link walk per 1024-ray block: the block visits the union of the
+nodes its rays need. Primary rays in an image tile share a narrow frustum, so
+the union is small — but after a bounce the wavefront is incoherent and a
+block's union approaches the whole tree, collapsing throughput (the reference
+CUDA walk is per-thread, cuda_bvh.cuh:114-171, so it never pays this cost; on
+TPU the fix is to restore coherence instead).
+
+``sort_perm`` orders rays by a 32-bit coherence key:
+
+    [31:29] direction octant      (3 bits — the walk's traversal order)
+    [28:8]  origin Morton code    (7 bits/axis, batch-normalized bounds)
+    [7:0]   direction bits        (4+4 bits of the two minor axes)
+
+so each 1024-ray block becomes a spatially tight, similarly-directed bundle.
+Origins are normalized by the batch's own min/max — no scene bounds needed,
+and shadow rays (origins on visible surfaces) bin just as well as bounce rays.
+For camera rays (all origins equal) the key degrades to direction bits, which
+still groups blocks into narrow cones. Sorting is a standard XLA sort (no
+data-dependent shapes); the traversal results are scattered back through the
+inverse permutation, so callers see row-major ray order throughout.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _spread3(x):
+    """Interleave 7-bit ints with two zero bits (Morton): 0b1111111 ->
+    0b1001001001001001001."""
+    x = x.astype(jnp.uint32)
+    x = (x | (x << 8)) & jnp.uint32(0x0300F00F)
+    x = (x | (x << 4)) & jnp.uint32(0x030C30C3)
+    x = (x | (x << 2)) & jnp.uint32(0x09249249)
+    return x
+
+
+def _quant(v, lo, hi, levels):
+    span = jnp.maximum(hi - lo, 1e-20)
+    q = (v - lo) / span * levels
+    return jnp.clip(q, 0.0, levels - 1.0).astype(jnp.int32)
+
+
+def coherence_keys(origin, direction):
+    """uint32 coherence key per ray (see module docstring)."""
+    lo = jnp.min(origin, axis=0)
+    hi = jnp.max(origin, axis=0)
+    q = _quant(origin, lo, hi, 128.0)                       # [R,3] 7-bit
+    morton = (_spread3(q[:, 0]) | (_spread3(q[:, 1]) << 1)
+              | (_spread3(q[:, 2]) << 2))                   # 21 bits
+    octant = ((direction[:, 0] < 0).astype(jnp.uint32)
+              | ((direction[:, 1] < 0).astype(jnp.uint32) << 1)
+              | ((direction[:, 2] < 0).astype(jnp.uint32) << 2))
+    # 4 bits each from the two minor |direction| axes (scale-free in [0,1])
+    ad = jnp.abs(direction)
+    mx = jnp.max(ad, axis=1, keepdims=True)
+    r = ad / jnp.maximum(mx, 1e-20)                         # dominant axis -> 1
+    axis = jnp.argmax(ad, axis=1)
+    # the two non-dominant ratios (dominant excluded by masking it to -1)
+    r0 = jnp.where(jnp.arange(3)[None, :] == axis[:, None], -1.0, r)
+    top2 = jax.lax.top_k(r0, 2)[0]                          # [R,2] in [0,1]
+    db = (_quant(top2[:, 0], 0.0, 1.0, 16.0).astype(jnp.uint32) << 4) | \
+        _quant(top2[:, 1], 0.0, 1.0, 16.0).astype(jnp.uint32)
+    return (octant << 29) | (morton << 8) | db
+
+
+def sort_perm(origin, direction):
+    """(perm, inv): ``x[perm]`` is coherence-ordered; ``y[inv]`` undoes it."""
+    keys = coherence_keys(origin, direction)
+    perm = jnp.argsort(keys)
+    r = perm.shape[0]
+    inv = jnp.zeros(r, jnp.int32).at[perm].set(
+        jnp.arange(r, dtype=jnp.int32), unique_indices=True,
+        indices_are_sorted=False)
+    return perm, inv

@@ -12,6 +12,7 @@ Requires H % n_devices == 0 (the driver-facing helpers assert this).
 """
 from __future__ import annotations
 
+from functools import partial
 from typing import Optional, Sequence
 
 import jax
@@ -19,7 +20,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..engine.state import RenderState
-from ..engine.integrator import render_steps
+from ..engine.integrator import _render_steps_impl
 
 RAYS_AXIS = "rays"
 
@@ -56,18 +57,50 @@ def replicate_scene(tree, mesh: Mesh):
     return jax.device_put(tree, jax.tree.map(lambda _: rep, tree))
 
 
+def _state_pspecs(state: RenderState):
+    """PartitionSpec pytree matching :func:`_state_sharding`."""
+    def leaf(x):
+        return P(RAYS_AXIS) if jax.numpy.asarray(x).ndim >= 1 else P()
+    return jax.tree.map(leaf, state)
+
+
+@partial(jax.jit, static_argnames=("cfg", "n_steps", "mesh"),
+         donate_argnames=("state",))
+def _sharded_impl(scene, cam, cfg, state: RenderState, key, n_steps: int,
+                  mesh: Mesh) -> RenderState:
+    n = mesh.devices.size
+    h_local = state.height // n
+    state_spec = _state_pspecs(state)
+    rep = jax.tree.map(lambda _: P(), (scene, cam))
+
+    def local(scene, cam, st, key):
+        # this shard owns image rows [row0, row0 + h_local); the row-keyed
+        # RNG (integrator.pass_uniforms) and the pixel-grid offset make the
+        # shard's rays bit-identical to the same rows of an unsharded render
+        row0 = jax.lax.axis_index(RAYS_AXIS) * h_local
+        st = st.replace(height=h_local)
+        out = _render_steps_impl(scene, cam, cfg, st, key, n_steps, row0=row0)
+        return out.replace(height=state.height)
+
+    return jax.shard_map(
+        local, mesh=mesh, in_specs=(rep[0], rep[1], state_spec, P()),
+        out_specs=state_spec, check_vma=False,
+    )(scene, cam, state, key)
+
+
 def sharded_render_steps(scene, cam, cfg, state: RenderState, key, n_steps: int,
                          mesh: Mesh) -> RenderState:
     """Run ``n_steps`` bounce passes with the wavefront sharded over the mesh.
 
-    Inputs are placed (scene replicated, state row-sharded) and the existing
-    jitted integrator runs under GSPMD — XLA partitions every per-ray op and
-    keeps the accumulation image sharded by rows; no collective is needed
-    until the host fetches the image.
+    Inputs are placed (scene replicated, state row-sharded), then the FULL
+    integrator — including the Pallas packet / TLAS traversal kernels — runs
+    per-device under ``jax.shard_map``: each chip renders its block of image
+    rows with the scene replicated, so no collective crosses chips until the
+    host fetches the image (or a training step psums gradients). Results are
+    bit-identical to a single-device render of the same state (row-keyed RNG
+    + pixel-grid row offset). The input state is donated.
     """
     scene = replicate_scene(scene, mesh)
     cam = replicate_scene(cam, mesh)
     state = shard_state(state, mesh)
-    # pallas_call does not auto-partition under GSPMD; the XLA traversal does
-    cfg = cfg.with_(packet_traversal=False)
-    return render_steps(scene, cam, cfg, state, key, n_steps)
+    return _sharded_impl(scene, cam, cfg, state, key, n_steps, mesh)

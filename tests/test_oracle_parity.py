@@ -15,7 +15,7 @@ import pytest
 import rayzath_tpu as rz
 from rayzath_tpu.models.device_scene import compile_world, compile_camera
 from rayzath_tpu.engine.state import init_state
-from rayzath_tpu.engine.integrator import bounce_step, n_streams
+from rayzath_tpu.engine.integrator import bounce_step, n_streams, pass_uniforms
 from rayzath_tpu import oracle
 
 
@@ -25,7 +25,6 @@ def run_both(world, n_passes=6, max_depth=4, res=24, seed=3):
     cam = compile_camera(world.cameras[0])
     key = jax.random.key(seed)
     ns = n_streams(cfg, scene)
-    R = res * res
 
     jstate = init_state(res, res)
     ostate = oracle.OracleState(res, res)
@@ -34,7 +33,7 @@ def run_both(world, n_passes=6, max_depth=4, res=24, seed=3):
 
     for p in range(n_passes):
         k = jax.random.fold_in(key, p)
-        u = jax.random.uniform(k, (R, ns), jnp.float32)
+        u = pass_uniforms(k, 0, res, res, ns)  # the integrator's own streams
         jstate = bounce_step(scene, cam, cfg, jstate, k)
         oracle.bounce_step(oscene, ocam, cfg, ostate, np.asarray(u))
     return np.asarray(jstate.accum), ostate.accum

@@ -73,3 +73,27 @@ def test_render_steps_donates_state():
     out2 = render_steps(scene, cam, cfg, st_in, key, 1)
     assert st_in.accum.is_deleted(), "donating entry left the input alive"
     np.testing.assert_allclose(np.asarray(out.accum), np.asarray(out2.accum))
+
+
+def test_sharded_two_level_keeps_pallas_kernels():
+    """Multi-chip path must run the Pallas TLAS kernels (round 1 demoted the
+    sharded path to the slow XLA walk; shard_map now runs the full integrator
+    per device, bit-identical to single-device thanks to the row-keyed RNG)."""
+    n = len(jax.devices())
+    W = H = 16
+    world = rz.scenes.cornell_box(W, H)
+    cfg = rz.RenderConfig(tracing=rz.Tracing(max_depth=3, rpp=2),
+                          two_level=True)
+    scene = compile_world(world, two_level=True)
+    assert scene.two_level  # the TLAS Pallas kernels are in the traced path
+    cam = compile_camera(world.cameras[0])
+    key = jax.random.key(11)
+
+    single = render_steps(scene, cam, cfg, init_state(W, H), key, 2)
+    mesh = make_mesh(jax.devices())
+    sharded = sharded_render_steps(scene, cam, cfg, init_state(W, H), key, 2,
+                                   mesh)
+    np.testing.assert_allclose(np.asarray(sharded.accum),
+                               np.asarray(single.accum), rtol=2e-4, atol=1e-4)
+    shard_shapes = {s.data.shape for s in sharded.accum.addressable_shards}
+    assert shard_shapes == {(H // n, W, 4)}
