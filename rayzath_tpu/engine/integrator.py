@@ -42,6 +42,7 @@ from ..ops.intersect import (project_closest, project_shadow, refine_hit,
                              refine_tri)
 from ..ops.sort_rays import sort_perm
 from ..ops.traverse import bvh_closest, bvh_shadow
+from ..ops.traverse_mxleaf import mx_closest, mx_shadow
 from ..ops.traverse_packet import (packet_closest, packet_shadow,
                                    PACKET_MAX_NODES, BLOCK as _PACKET_BLOCK)
 from ..ops.traverse_tlas import tlas_closest, tlas_shadow
@@ -214,6 +215,11 @@ def closest_hit(scene: DeviceScene, cfg: RenderConfig, o, d, near, far,
     if scene.n_triangles <= cfg.brute_force_threshold:
         t, tid = project_closest(o, d, near, far, scene.tri_pw, scene.tri_pc,
                                  chunk=min(cfg.chunk, scene.tri_v0.shape[0]))
+    elif _use_mxleaf(scene, cfg):
+        t, tid = _run_coherent(
+            cfg, hw, o, d, (near, far),
+            lambda o, d, near, far: mx_closest(o, d, near, far, scene.mx_tab,
+                                               scene.mx_lw, scene.mx_order))
     elif _use_packet(scene, cfg):
         t, tid = _run_coherent(
             cfg, hw, o, d, (near, far),
@@ -241,8 +247,75 @@ def _use_packet(scene: DeviceScene, cfg: RenderConfig) -> bool:
             and scene.node_begin.shape[0] <= PACKET_MAX_NODES)
 
 
+def _use_mxleaf(scene: DeviceScene, cfg: RenderConfig) -> bool:
+    return cfg.packet_traversal and scene.mx_tab is not None
+
+
+def texture_shadow_factor(scene: DeviceScene, o, d, dist, chunk: int = 8):
+    """Texture part of the transmission-filtered shadow mask.
+
+    The reference fetches the material's TEXTURE at every shadow-ray hit
+    (cuda_instance.cuh:92-164; per-hit factor = opacityColor(texcrd) =
+    (base_rgb * tex_rgb, (1-alpha) * (1-tex_alpha)), cuda_material.cuh:86-95).
+    That product factorizes: the traversal kernels already accumulate the
+    constant material part over ALL hits; this dense pass over the small
+    "cutout" set (triangles whose material has a texture AND alpha < 1 —
+    precomputed at scene compile) multiplies in the texture part
+    (tex_rgb, 1 - tex_alpha) at each hit's interpolated texcrd. Fully
+    differentiable — gradients flow into the color atlas (trainable cutouts).
+
+    Deviation noted: the reference's alpha<1e-4 early-out stops its product
+    mid-walk; here both factors always complete. The results differ only
+    where the mask is already ~0 (the light term vanishes either way)."""
+    c_total = scene.cut_pw.shape[1] // 3
+    rgb = jnp.ones((o.shape[0], 3), jnp.float32)
+    a = jnp.ones(o.shape[0], jnp.float32)
+    for i0 in range(0, c_total, chunk):
+        c = min(chunk, c_total - i0)
+        w = jax.lax.dynamic_slice_in_dim(
+            scene.cut_pw.reshape(3, 3, c_total), i0, c, 2).reshape(3, 3 * c)
+        cc = jax.lax.dynamic_slice_in_dim(
+            scene.cut_pc.reshape(3, c_total), i0, c, 1).reshape(3 * c)
+        hi = jax.lax.Precision.HIGHEST
+        ol = jnp.matmul(o, w, precision=hi) + cc            # [R, 3c]
+        dl = jnp.matmul(d, w, precision=hi)
+        ox_, oy_, oz_ = ol[:, :c], ol[:, c:2 * c], ol[:, 2 * c:]
+        dx_, dy_, dz_ = dl[:, :c], dl[:, c:2 * c], dl[:, 2 * c:]
+        dz_ = dz_ + jnp.where(jnp.abs(dz_) < 1e-7, 1e-7, 0.0)
+        t = -oz_ / dz_
+        b1 = ox_ + t * dx_
+        b2 = oy_ + t * dy_
+        valid = ((b1 >= 0.0) & (b1 <= 1.0) & (b2 >= 0.0) & (b1 + b2 <= 1.0)
+                 & (t > 0.0) & (t < dist[:, None]))          # [R, c]
+        t0 = scene.cut_t0[i0:i0 + c]
+        t1 = scene.cut_t1[i0:i0 + c]
+        t2 = scene.cut_t2[i0:i0 + c]
+        uv = (t0[None] + b1[..., None] * (t1 - t0)[None]
+              + b2[..., None] * (t2 - t0)[None])             # [R, c, 2]
+        mid = jnp.broadcast_to(scene.cut_map[i0:i0 + c][None], valid.shape)
+        tex = tex_ops.fetch_scene(scene, mid.reshape(-1),
+                                  uv.reshape(-1, 2)).reshape(valid.shape + (4,))
+        fac_rgb = jnp.where(valid[..., None], tex[..., :3], 1.0)
+        fac_a = jnp.where(valid, 1.0 - tex[..., 3], 1.0)
+        rgb = rgb * jnp.prod(fac_rgb, axis=1)
+        a = a * jnp.prod(fac_a, axis=1)
+    return rgb, a
+
+
 def shadow_test(scene: DeviceScene, cfg: RenderConfig, o, d, dist, hw=None):
-    """Transmission-filtered visibility (reference World::anyIntersection)."""
+    """Transmission-filtered visibility (reference World::anyIntersection).
+
+    The traversal kernels accumulate constant material opacity over all hits;
+    :func:`texture_shadow_factor` multiplies in the texture term for the
+    cutout set (texture-alpha-filtered shadows, cuda_instance.cuh:92-164)."""
+    if scene.n_cutout:
+        base_rgb, base_a = _shadow_core(scene, cfg, o, d, dist, hw)
+        tex_rgb, tex_a = texture_shadow_factor(scene, o, d, dist)
+        return base_rgb * tex_rgb, base_a * tex_a
+    return _shadow_core(scene, cfg, o, d, dist, hw)
+
+
+def _shadow_core(scene: DeviceScene, cfg: RenderConfig, o, d, dist, hw=None):
     if scene.two_level:
         # live per-(instance, slot) opacities from the material table: edits
         # and training are never stale, gradients flow to mat_color
@@ -265,6 +338,13 @@ def shadow_test(scene: DeviceScene, cfg: RenderConfig, o, d, dist, hw=None):
         return project_shadow(o, d, dist, scene.tri_pw, scene.tri_pc,
                               op_rgb, op_a,
                               chunk=min(cfg.chunk, scene.tri_v0.shape[0]))
+    if _use_mxleaf(scene, cfg):
+        return _run_coherent(
+            cfg, hw, o, d, (dist,),
+            lambda o, d, dist: mx_shadow(
+                o, d, dist, scene.mx_tab, scene.mx_lw, scene.mx_order,
+                scene.mx_base, scene.mx_count, scene.tri_v0, scene.tri_e1,
+                scene.tri_e2, op_rgb, op_a))
     if _use_packet(scene, cfg):
         return _run_coherent(
             cfg, hw, o, d, (dist,),

@@ -93,6 +93,27 @@ def prepare_tasks(task_path: str) -> List[RenderTask]:
     return tasks
 
 
+def balance_rpp(floaty_rpp: float, rpp: int, duration: float):
+    """One rpp load-balancer update toward LOAD_TIME_TARGET seconds per cycle
+    (reference Application/headless.cpp:277-296). Pure: returns the new
+    (floaty_rpp, rpp).
+
+    Deviation from the reference (which free-runs an integer rpp): the chosen
+    rpp is quantized to powers of two and clamped to [1, 1024] — every
+    distinct rpp is a separate XLA compile of the bounce scan (static length),
+    so a free-running rpp would recompile nearly every cycle. The cost is a
+    steady-state cycle time within ~[0.7x, 1.4x] of the target instead of
+    exactly on it; the gain is at most log2(1024)+1 = 11 compiles ever."""
+    relative_error = (duration - LOAD_TIME_TARGET) / LOAD_TIME_TARGET
+    if abs(relative_error) > 0.05:
+        ratio = (LOAD_TIME_TARGET / max(duration, 1e-6)) ** 0.5
+        new_rpp = floaty_rpp * ratio
+        floaty_rpp = (floaty_rpp + new_rpp) * 0.5
+        clamped = min(max(floaty_rpp, 1.0), 1024.0)
+        rpp = 1 << max(0, int(clamped).bit_length() - 1)
+    return floaty_rpp, rpp
+
+
 class Headless:
     """The headless render loop with adaptive rpp (reference Headless)."""
 
@@ -184,17 +205,8 @@ class Headless:
         for cv in renderer.views.values():
             np.asarray(cv.state.accum[0, 0])
         duration = time.perf_counter() - t0
-
-        relative_error = (duration - LOAD_TIME_TARGET) / LOAD_TIME_TARGET
-        if abs(relative_error) > 0.05:
-            ratio = (LOAD_TIME_TARGET / max(duration, 1e-6)) ** 0.5
-            new_rpp = self._floaty_rpp * ratio
-            self._floaty_rpp = (self._floaty_rpp + new_rpp) * 0.5
-            clamped = min(max(self._floaty_rpp, 1.0), 1024.0)
-            # quantize to powers of two: every distinct rpp is a separate XLA
-            # compile of the bounce scan (static length), so a free-running
-            # integer rpp would recompile nearly every cycle
-            self._rpp = 1 << max(0, int(clamped).bit_length() - 1)
+        self._floaty_rpp, self._rpp = balance_rpp(self._floaty_rpp, self._rpp,
+                                                  duration)
 
     # -- report (headless.cpp:297-330) ----------------------------------------
     def generate_report(self, report_dir: str, results: List[TaskResult]) -> None:
@@ -224,7 +236,11 @@ def main(argv: Optional[List[str]] = None) -> int:
                         [Option("trace_dir", True)]))
                .arg(Arg({"--scaling"},
                         "Measure multi-device rays/s scaling efficiency.",
-                        [Option("scene", False)])))
+                        [Option("scene", False)]))
+               .arg(Arg({"--view"},
+                        "Serve a live progressive viewer (orbit/pan/zoom/"
+                        "pick) for a scene .json or built-in scene name.",
+                        [Option("scene", True), Option("port", False)])))
     args = arg_def.parse(list(sys.argv[1:] if argv is None else argv))
 
     if "-h" in args or "--help" in args:
@@ -236,6 +252,19 @@ def main(argv: Optional[List[str]] = None) -> int:
         params = args["--scaling"]
         scene_fn = scenes.SCENES[params[0]] if params else scenes.cornell_box
         print(format_report(measure_scaling(scene_fn)))
+        return 0
+    if "--view" in args:
+        from . import scenes
+        from .viewer import Viewer
+        params = args["--view"]
+        name = params[0]
+        if name in scenes.SCENES:
+            world = scenes.SCENES[name](512, 512)
+        else:
+            world = World()
+            world.load_scene(name)
+        port = int(params[1]) if len(params) > 1 else 8760
+        Viewer(world).serve(port=port)
         return 0
     if "--headless" in args:
         params = args["--headless"]

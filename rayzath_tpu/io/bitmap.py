@@ -25,6 +25,80 @@ def load_image(path: str, flip_v: bool = False) -> np.ndarray:
     return a
 
 
+def load_hdr(path: str) -> np.ndarray:
+    """Load a high-dynamic-range image as float32 RGB [H,W,3] (linear).
+
+    Supports Radiance ``.hdr`` (RGBE, new-RLE and flat scanlines; pure NumPy —
+    the stb_image HDR path of the reference, loader.cpp:103-138, without the
+    C dependency) and float ``.npy`` arrays ([H,W,3] or [H,W]). ``.exr``
+    needs OpenEXR, which is not available in this environment."""
+    ext = os.path.splitext(path)[1].lower()
+    if ext == ".npy":
+        a = np.asarray(np.load(path), np.float32)
+        if a.ndim == 2:
+            a = np.repeat(a[..., None], 3, axis=2)
+        return a[:, :, :3]
+    if ext == ".exr":  # pragma: no cover
+        raise RuntimeError("EXR requires OpenEXR, which is not installed; "
+                           "convert to .hdr or .npy")
+    if ext != ".hdr":
+        raise RuntimeError(f"not an HDR format: {path}")
+    with open(path, "rb") as f:
+        raw = f.read()
+    if not raw.startswith(b"#?"):
+        raise RuntimeError(f"{path}: missing Radiance header")
+    # header ends at the first empty line; next line is the resolution
+    head_end = raw.find(b"\n\n")
+    if head_end < 0:
+        raise RuntimeError(f"{path}: malformed header")
+    pos = head_end + 2
+    eol = raw.find(b"\n", pos)
+    res = raw[pos:eol].split()
+    if len(res) != 4 or res[0] != b"-Y" or res[2] != b"+X":
+        raise RuntimeError(f"{path}: unsupported resolution line {res}")
+    height, width = int(res[1]), int(res[3])
+    data = np.frombuffer(raw, np.uint8, offset=eol + 1)
+    rgbe = np.zeros((height, width, 4), np.uint8)
+    p = 0
+    for y in range(height):
+        if (width >= 8 and width < 32768 and p + 4 <= len(data)
+                and data[p] == 2 and data[p + 1] == 2
+                and (int(data[p + 2]) << 8 | int(data[p + 3])) == width):
+            p += 4  # new RLE: four component planes
+            for c in range(4):
+                x = 0
+                while x < width:
+                    n = int(data[p]); p += 1
+                    if n > 128:                      # run
+                        rgbe[y, x:x + n - 128, c] = data[p]
+                        p += 1
+                        x += n - 128
+                    else:                            # literal
+                        rgbe[y, x:x + n, c] = data[p:p + n]
+                        p += n
+                        x += n
+        else:                                        # flat RGBE scanline
+            row = data[p:p + width * 4].reshape(width, 4)
+            rgbe[y] = row
+            p += width * 4
+    e = rgbe[..., 3].astype(np.int32)
+    scale = np.where(e == 0, 0.0,
+                     np.ldexp(np.float32(1.0), e - (128 + 8))).astype(np.float32)
+    return rgbe[..., :3].astype(np.float32) * scale[..., None]
+
+
+def hdr_to_texture_emission(rgb: np.ndarray):
+    """Split linear HDR rgb into (texture RGBA [0,1], emission map [H,W]) —
+    the reference pair semantics (loader.cpp:116-137): texture = chroma
+    (rgb / max component), emission = max component."""
+    rgb = np.asarray(rgb, np.float32)
+    mx = rgb.max(axis=2)
+    safe = np.maximum(mx, 1e-20)
+    tex = np.concatenate([rgb / safe[..., None],
+                          np.ones(rgb.shape[:2] + (1,), np.float32)], axis=2)
+    return np.clip(tex, 0.0, 1.0), mx
+
+
 def save_image(path: str, rgb: np.ndarray) -> None:
     """Save uint8 [H,W,3|4] (or float in [0,1]) as PNG/JPEG by extension."""
     a = np.asarray(rgb)

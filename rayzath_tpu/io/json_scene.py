@@ -106,8 +106,18 @@ class JsonLoader:
             self.result.log_error(
                 "Map definition has to contain \"name\" and \"file\" properties")
             return None
+        file = str(value["file"])
+        hdr_emission = None
         try:
-            data = load_image(self.make_path(str(value["file"])))
+            if (kind == "Texture"
+                    and os.path.splitext(file)[1].lower() in (".hdr", ".npy")):
+                # HDR -> chroma texture + emission map pair (reference
+                # BitmapLoader::loadHDR, loader.cpp:103-138)
+                from .bitmap import load_hdr, hdr_to_texture_emission
+                data, hdr_emission = hdr_to_texture_emission(
+                    load_hdr(self.make_path(file)))
+            else:
+                data = load_image(self.make_path(file))
         except (OSError, RuntimeError) as e:
             self.result.log_error(f"Failed to load map file: {e}")
             return None
@@ -127,6 +137,11 @@ class JsonLoader:
         m = cls(name=str(value["name"]), data=data, **kwargs)
         getattr(self.world, container).create(m)
         self._register(kind, m.name, m)
+        if hdr_emission is not None:
+            emi = EmissionMap(name=f"{m.name} emission", data=hdr_emission,
+                              **kwargs)
+            self.world.emission_maps.create(emi)
+            self._register("EmissionMap", emi.name, emi)
         return m
 
     # -- material (json_loader.cpp:190-392) ----------------------------------

@@ -114,6 +114,31 @@ class DeviceScene:
     # cuda_instance.cuh:35-264; shared object-space meshes, no duplication).
     # In this mode tri_* hold OBJECT-space per-mesh geometry and the soup
     # traversal fields above are inert dummies.
+    # texture-alpha shadow filtering (reference cuda_instance.cuh:92-164 /
+    # cuda_material.cuh:86-95: per-hit shadow factor = opacityColor *
+    # textureOpacity — multiplicative, so the traversal kernels contribute the
+    # constant material part and this dense "cutout" set (triangles whose
+    # material has a color texture AND alpha < 1) contributes the texture
+    # part; see integrator.texture_shadow_factor). World space in both modes.
+    cut_pw: Any = None        # [3,3C] projection frames
+    cut_pc: Any = None        # [3C]
+    cut_v0: Any = None        # [C,3] raw geometry (oracle's independent MT)
+    cut_e1: Any = None
+    cut_e2: Any = None
+    cut_t0: Any = None        # [C,2] texcrds
+    cut_t1: Any = None
+    cut_t2: Any = None
+    cut_map: Any = None       # [C] i32 texture map id
+
+    # MXU-leaf traversal tables (ops/traverse_mxleaf.py): shallow BVH with
+    # 128-triangle leaves intersected as matmuls — the fast soup path for
+    # scenes past the brute-force sweet spot (None when not built)
+    mx_tab: Any = None        # [N,128] node rows
+    mx_lw: Any = None         # [L,4,384] leaf projection frames
+    mx_order: Any = None      # [T] i32 mxleaf order -> soup index
+    mx_base: Any = None       # [L] i32 leaf triangle base (mxleaf order)
+    mx_count: Any = None      # [L] i32 leaf triangle count
+
     tlas_tab: Any = None        # [TN,128] TLAS rows (ops/segments.py)
     unit_tab: Any = None        # [U,128] unit rows (transform + segment ref)
     seg_rows: Any = None        # [Rw,128] segmented BLAS packet rows
@@ -131,6 +156,7 @@ class DeviceScene:
     n_direct_lights: int = struct.field(pytree_node=False, default=0)
     n_instances: int = struct.field(pytree_node=False, default=0)
     has_maps: bool = struct.field(pytree_node=False, default=False)
+    n_cutout: int = struct.field(pytree_node=False, default=0)
     two_level: bool = struct.field(pytree_node=False, default=False)
     seg_nodes: int = struct.field(pytree_node=False, default=SEG_NODES)
 
@@ -442,6 +468,10 @@ def compile_world(world: World, leaf_size: int = 8,
         np.int32,
     )
 
+    # ---- texture-alpha shadow cutout set (both modes) ----
+    cut_fields = _cutout_fields(world, mat_index, mat_color, mat_maps)
+    n_cutout = cut_fields.pop("n_cutout")
+
     # ---- acceleration-structure mode ----
     live = [i for i in world.instances
             if i.mesh is not None and i.mesh.triangle_count > 0]
@@ -449,16 +479,17 @@ def compile_world(world: World, leaf_size: int = 8,
     unique = sum(m.triangle_count
                  for m in {id(i.mesh): i.mesh for i in live}.values())
     if two_level is None:
-        # two-level when the expanded soup would overflow the resident packet
-        # table (~50k tris at leaf 8), or instancing duplicates 2x+ a scene
-        # that is past the brute-force sweet spot
-        two_level = (expanded > 50_000
-                     or (expanded > 8192 and expanded >= 2 * unique))
+        # two-level only when instancing duplicates 2x+ a scene that is past
+        # the brute-force sweet spot: the MXU-leaf soup traversal
+        # (ops/traverse_mxleaf.py) streams past VMEM, so sheer size no longer
+        # forces two-level — only real geometry duplication does
+        two_level = expanded > 8192 and expanded >= 2 * unique
 
     if two_level:
         geo, n_tri = _two_level_arrays(world, mat_index, leaf_size, seg_nodes)
         return DeviceScene(
             **geo,
+            **cut_fields, n_cutout=n_cutout,
             mat_color=jnp.asarray(mat_color), mat_metalness=jnp.asarray(mat_metalness),
             mat_roughness=jnp.asarray(mat_roughness), mat_emission=jnp.asarray(mat_emission),
             mat_ior=jnp.asarray(mat_ior), mat_scattering=jnp.asarray(mat_scattering),
@@ -573,7 +604,21 @@ def compile_world(world: World, leaf_size: int = 8,
         bvh.node_min, bvh.node_max, bvh.node_begin, bvh.node_count,
         first8, skip8, tri_v0, tri_e1, tri_e2)
 
+    # MXU-leaf tables (the fast traversal for anything past brute force);
+    # skipped for tiny scenes where the dense path wins anyway
+    mx_fields = {}
+    if n_tri > 512:
+        from ..ops.traverse_mxleaf import build_mxleaf_tables
+        mx_tab, mx_lw, mx_order, mx_base, mx_count = build_mxleaf_tables(
+            tri_v0[:n_tri], tri_e1[:n_tri], tri_e2[:n_tri])
+        mx_fields = dict(
+            mx_tab=jnp.asarray(mx_tab), mx_lw=jnp.asarray(mx_lw),
+            mx_order=jnp.asarray(mx_order), mx_base=jnp.asarray(mx_base),
+            mx_count=jnp.asarray(mx_count))
+
     return DeviceScene(
+        **mx_fields,
+        **cut_fields, n_cutout=n_cutout,
         tri_v0=jnp.asarray(tri_v0), tri_e1=jnp.asarray(tri_e1), tri_e2=jnp.asarray(tri_e2),
         tri_n0=jnp.asarray(tri_n0), tri_n1=jnp.asarray(tri_n1), tri_n2=jnp.asarray(tri_n2),
         tri_t0=jnp.asarray(tri_t0), tri_t1=jnp.asarray(tri_t1), tri_t2=jnp.asarray(tri_t2),
@@ -594,6 +639,63 @@ def compile_world(world: World, leaf_size: int = 8,
         n_instances=len(world.instances),
         has_maps=k > 0,
     )
+
+
+def _cutout_fields(world: World, mat_index, mat_color, mat_maps) -> dict:
+    """World-space "cutout" triangle set for texture-alpha shadow filtering.
+
+    A triangle is a cutout when its resolved material has a color texture AND
+    base alpha < 1 (reference semantics: the per-hit shadow factor
+    opacityColor(texcrd) = (rgb*tex_rgb, (1-alpha)*(1-tex_alpha)),
+    cuda_material.cuh:86-95 — when alpha = 1 the constant part already blocks
+    the ray, so only transparent textured materials need the texture term).
+    Returns projection frames + texcrds + map ids (+ n_cutout)."""
+    v0s, e1s, e2s, t0s, t1s, t2s, maps = [], [], [], [], [], [], []
+    for inst in world.instances:
+        mesh = inst.mesh
+        if mesh is None or mesh.triangle_count == 0:
+            continue
+        slot_table = np.full(64, DEFAULT_MATERIAL_ID, np.int32)
+        for s, mat in enumerate(inst.materials[:64]):
+            if mat is not None:
+                slot_table[s] = mat_index.get(id(mat), DEFAULT_MATERIAL_ID)
+        gmat = slot_table[np.clip(mesh.tri_mat, 0, 63)]
+        sel = (mat_maps[gmat, 0] >= 0) & (mat_color[gmat, 3] < 1.0 - 1e-6)
+        if not sel.any():
+            continue
+        tr = inst.effective_transform()
+        wv = tr.points_l2g(mesh.vertices).astype(np.float32)
+        tv = mesh.tri_v[sel]
+        v0 = wv[tv[:, 0]]
+        v0s.append(v0)
+        e1s.append(wv[tv[:, 1]] - v0)
+        e2s.append(wv[tv[:, 2]] - v0)
+        tt = mesh.tri_t[sel]
+        if len(mesh.texcrds):
+            uv = np.concatenate([mesh.texcrds.astype(np.float32),
+                                 np.zeros((1, 2), np.float32)])  # -1 -> (0,0)
+        else:
+            uv = np.zeros((1, 2), np.float32)
+            tt = np.full_like(tt, -1)
+        t0s.append(uv[tt[:, 0]])
+        t1s.append(uv[tt[:, 1]])
+        t2s.append(uv[tt[:, 2]])
+        maps.append(mat_maps[gmat[sel], 0])
+    if v0s:
+        v0 = np.concatenate(v0s)
+        e1 = np.concatenate(e1s)
+        e2 = np.concatenate(e2s)
+        pw, pc = triangle_frames(v0, e1, e2)
+        return dict(
+            cut_pw=jnp.asarray(pw), cut_pc=jnp.asarray(pc),
+            cut_v0=jnp.asarray(v0), cut_e1=jnp.asarray(e1),
+            cut_e2=jnp.asarray(e2),
+            cut_t0=jnp.asarray(np.concatenate(t0s)),
+            cut_t1=jnp.asarray(np.concatenate(t1s)),
+            cut_t2=jnp.asarray(np.concatenate(t2s)),
+            cut_map=jnp.asarray(np.concatenate(maps).astype(np.int32)),
+            n_cutout=len(v0))
+    return dict(n_cutout=0)
 
 
 def _atlas_fields(color_atlas, scalar_atlas, map_rect, map_flags, map_uv):

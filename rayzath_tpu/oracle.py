@@ -111,6 +111,91 @@ def mt_closest(o, d, near, far, v0, e1, e2):
             np.where(hit, det[rows, k] > 0, True))
 
 
+def fetch_map(scene, map_id, uv):
+    """NumPy twin of ops/texture.fetch (UV transform, v flip, point/bilinear,
+    wrap/clamp/mirror/border, color + scalar atlases). [R] ids, [R,2] uv ->
+    [R,4]."""
+    mid = np.maximum(map_id, 0)
+    prm = scene.map_uv[mid]
+    u = uv[..., 0] + prm[..., 3]
+    v = uv[..., 1] + prm[..., 4]
+    c, s = np.cos(prm[..., 2]), np.sin(prm[..., 2])
+    u, v = (u * c - v * s) * prm[..., 0], (u * s + v * c) * prm[..., 1]
+    flags = scene.map_flags[mid]
+    filt, addr, which = flags[..., 0], flags[..., 1], flags[..., 2]
+    rect = scene.map_rect[mid]
+    y0, x0, h, w = rect[..., 0], rect[..., 1], rect[..., 2], rect[..., 3]
+
+    def address(x):
+        wrap = np.mod(x, 1.0)
+        clamp = np.clip(x, 0.0, 1.0 - 1e-6)
+        period = np.mod(x, 2.0)
+        mirror = np.clip(np.where(period > 1.0, 2.0 - period, period),
+                         0.0, 1.0 - 1e-6)
+        coord = np.where(addr == 0, wrap,
+                         np.where(addr == 1, clamp,
+                                  np.where(addr == 2, mirror, clamp)))
+        return coord, (addr == 3) & ((x < 0.0) | (x >= 1.0))
+
+    un, ub = address(u)
+    vn, vb = address(v)
+    vn = 1.0 - vn
+    is_border = ub | vb
+    wf, hf = w.astype(np.float32), h.astype(np.float32)
+
+    def gather(px, py):
+        px = np.clip(px, 0, w - 1) + x0
+        py = np.clip(py, 0, h - 1) + y0
+        # a map lives in only ONE atlas; clamp indices into the other
+        # (XLA gathers clamp implicitly; NumPy must do it explicitly)
+        ca = scene.color_atlas
+        sa = scene.scalar_atlas
+        cv = ca[np.clip(py, 0, ca.shape[0] - 1),
+                np.clip(px, 0, ca.shape[1] - 1)]
+        sv = sa[np.clip(py, 0, sa.shape[0] - 1),
+                np.clip(px, 0, sa.shape[1] - 1)]
+        return np.where((which == 0)[..., None], cv,
+                        np.broadcast_to(sv[..., None], sv.shape + (4,)))
+
+    point_val = gather(np.floor(un * wf).astype(np.int32),
+                       np.floor(vn * hf).astype(np.int32))
+    fx, fy = un * wf - 0.5, vn * hf - 0.5
+    x_lo, y_lo = np.floor(fx).astype(np.int32), np.floor(fy).astype(np.int32)
+    ax = (fx - x_lo)[..., None]
+    ay = (fy - y_lo)[..., None]
+    lin = ((gather(x_lo, y_lo) * (1 - ax) + gather(x_lo + 1, y_lo) * ax)
+           * (1 - ay)
+           + (gather(x_lo, y_lo + 1) * (1 - ax)
+              + gather(x_lo + 1, y_lo + 1) * ax) * ay)
+    out = np.where((filt == 0)[..., None], point_val, lin)
+    return np.where(is_border[..., None], 0.0, out)
+
+
+def texture_shadow(scene, o, d, dist):
+    """Texture part of the shadow mask over the cutout set (reference
+    per-hit opacityColor(texcrd) texture term, cuda_instance.cuh:92-164)."""
+    v0, e1, e2 = scene.cut_v0, scene.cut_e1, scene.cut_e2
+    pvec = np.cross(d[:, None, :], e2[None])
+    det = _dot(e1[None], pvec)
+    det = det + np.where(np.abs(det) < DET_EPS, DET_EPS, 0.0)
+    inv = 1.0 / det
+    tvec = o[:, None, :] - v0[None]
+    b1 = _dot(tvec, pvec) * inv
+    qvec = np.cross(tvec, e1[None])
+    b2 = _dot(d[:, None, :], qvec) * inv
+    t = _dot(e2[None], qvec) * inv
+    valid = ((b1 >= 0) & (b1 <= 1) & (b2 >= 0) & (b1 + b2 <= 1)
+             & (t > 0) & (t < dist[:, None]))                   # [R, C]
+    uv = (scene.cut_t0[None] + b1[..., None] * (scene.cut_t1 - scene.cut_t0)[None]
+          + b2[..., None] * (scene.cut_t2 - scene.cut_t0)[None])
+    mid = np.broadcast_to(scene.cut_map[None], valid.shape)
+    tex = fetch_map(scene, mid.reshape(-1),
+                    uv.reshape(-1, 2)).reshape(valid.shape + (4,))
+    rgb = np.prod(np.where(valid[..., None], tex[..., :3], 1.0), axis=1)
+    a = np.prod(np.where(valid, 1.0 - tex[..., 3], 1.0), axis=1)
+    return rgb, a
+
+
 def mt_shadow(o, d, dist, v0, e1, e2, op_rgb, op_a):
     pvec = np.cross(d[:, None, :], e2[None])
     det = _dot(e1[None], pvec)
@@ -136,15 +221,22 @@ class OracleScene:
                   "tri_t0", "tri_t1", "tri_t2", "tri_mat", "tri_inst",
                   "mat_color", "mat_metalness", "mat_roughness", "mat_emission",
                   "mat_ior", "mat_scattering", "mat_maps",
+                  "color_atlas", "scalar_atlas", "map_rect", "map_flags",
+                  "map_uv",
                   "spot_pos", "spot_dir", "spot_color", "spot_size",
                   "spot_emission", "spot_cos_angle",
                   "dir_dir", "dir_color", "dir_emission", "dir_cos"):
             setattr(self, f, np.asarray(getattr(ds, f)))
+        for f in ("cut_v0", "cut_e1", "cut_e2", "cut_t0", "cut_t1", "cut_t2",
+                  "cut_map"):
+            v = getattr(ds, f)
+            setattr(self, f, None if v is None else np.asarray(v))
         self.n_triangles = ds.n_triangles
         self.n_materials = ds.n_materials
         self.n_spot_lights = ds.n_spot_lights
         self.n_direct_lights = ds.n_direct_lights
         self.has_maps = ds.has_maps
+        self.n_cutout = ds.n_cutout
 
 
 class OracleCamera:
@@ -268,7 +360,6 @@ def bounce_step(scene: OracleScene, cam: OracleCamera, cfg, state: OracleState,
     vtx_n = _normalize(scene.tri_n0[tri] * b0[:, None]
                        + scene.tri_n1[tri] * b1[:, None]
                        + scene.tri_n2[tri] * b2[:, None])
-    mapped = vtx_n * ext_f
 
     mid = np.clip(surf_mat, 0, scene.n_materials - 1)
     base = scene.mat_color[mid]
@@ -277,6 +368,45 @@ def bounce_step(scene: OracleScene, cam: OracleCamera, cfg, state: OracleState,
     metalness = scene.mat_metalness[mid]
     roughness = scene.mat_roughness[mid]
     emission = scene.mat_emission[mid]
+
+    # material maps (reference Material::color/metalness/... with maps,
+    # cuda_material.cuh:70-123) — same semantics as integrator.material_fetch
+    if scene.has_maps:
+        maps = scene.mat_maps[mid]                         # [R,5]
+        tex = fetch_map(scene, maps[:, 0], texcrd)
+        has_t = (maps[:, 0] >= 0)
+        mat_rgb = np.where(has_t[:, None], mat_rgb * tex[:, :3], mat_rgb)
+        alpha_op = np.where(has_t, alpha_op * (1.0 - tex[:, 3]), alpha_op)
+        met_v = fetch_map(scene, maps[:, 2], texcrd)[:, 0]
+        metalness = np.where(maps[:, 2] >= 0, met_v, metalness)
+        rgh_v = fetch_map(scene, maps[:, 3], texcrd)[:, 0]
+        roughness = np.where(maps[:, 3] >= 0, rgh_v, roughness)
+        emi_v = fetch_map(scene, maps[:, 4], texcrd)[:, 0]
+        emission = np.where(maps[:, 4] >= 0, emission * emi_v, emission)
+
+    # tangent-space normal mapping (reference Triangle::mapNormal,
+    # cuda_render_parts.cuh:1095-1116)
+    mapped = vtx_n
+    if scene.has_maps:
+        nm_id = scene.mat_maps[mid][:, 1]
+        has_nm = nm_id >= 0
+        nm_rgb = fetch_map(scene, nm_id, texcrd)[:, :3]
+        tt0, tt1, tt2 = (scene.tri_t0[tri], scene.tri_t1[tri],
+                         scene.tri_t2[tri])
+        duv1 = tt1 - tt0
+        duv2 = tt2 - tt0
+        denom = duv1[:, 0] * duv2[:, 1] - duv2[:, 0] * duv1[:, 1]
+        f = 1.0 / np.where(np.abs(denom) < 1e-12, 1e-12, denom)
+        tangent = _normalize((e1 * duv2[:, 1:2] - e2 * duv1[:, 1:2])
+                             * f[:, None])
+        tangent = _normalize(tangent
+                             - mapped * _dot(tangent, mapped)[:, None])
+        bitangent = np.cross(tangent, mapped)
+        mn = nm_rgb * 2.0 - 1.0
+        perturbed = _normalize(mapped * mn[:, 2:3] + tangent * mn[:, 0:1]
+                               + bitangent * mn[:, 1:2])
+        mapped = np.where(has_nm[:, None], perturbed, mapped)
+    mapped = mapped * ext_f
 
     normal = np.where(hit_obj[:, None], flat_n, d)
     mapped_normal = np.where(hit_obj[:, None], mapped, d)
@@ -371,6 +501,9 @@ def bounce_step(scene: OracleScene, cam: OracleCamera, cfg, state: OracleState,
             radiance = np.where(brdf < 1e-4, 0.0, radiance)
             v_rgb, v_a = mt_shadow(point, vpl_n, d_pl, scene.tri_v0,
                                    scene.tri_e1, scene.tri_e2, op_rgb, op_a)
+            if scene.n_cutout:
+                tx_rgb, tx_a = texture_shadow(scene, point, vpl_n, d_pl)
+                v_rgb, v_a = v_rgb * tx_rgb, v_a * tx_a
             direct = direct + (lcol * brdf_color * (radiance * v_a)[:, None]
                                * v_rgb) / (cfg.light_sampling.spot_light
                                            / float(scene.n_spot_lights))
@@ -395,9 +528,13 @@ def bounce_step(scene: OracleScene, cam: OracleCamera, cfg, state: OracleState,
             le = lemit * solid_angle * brdf
             radiance = le * (1 - vsw) + se * vsw
             radiance = np.where(radiance < 1e-4, 0.0, radiance)
-            v_rgb, v_a = mt_shadow(point, vpl_n, np.full(R, BIG, np.float32),
+            dist_big = np.full(R, BIG, np.float32)
+            v_rgb, v_a = mt_shadow(point, vpl_n, dist_big,
                                    scene.tri_v0, scene.tri_e1, scene.tri_e2,
                                    op_rgb, op_a)
+            if scene.n_cutout:
+                tx_rgb, tx_a = texture_shadow(scene, point, vpl_n, dist_big)
+                v_rgb, v_a = v_rgb * tx_rgb, v_a * tx_a
             direct = direct + (lcol * brdf_color * (radiance * v_a)[:, None]
                                * v_rgb) / (cfg.light_sampling.direct_light
                                            / float(scene.n_direct_lights))

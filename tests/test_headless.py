@@ -115,3 +115,39 @@ def test_headless_run_end_to_end(tmp_path):
     assert "rps" in report
     images = [f for f in os.listdir(report_dir) if f.endswith(".png")]
     assert len(images) == 1
+
+
+def test_rpp_balancer_converges_and_bounds_recompiles():
+    """The adaptive-rpp balancer (reference headless.cpp:277-296) on a
+    synthetic renderer: per-cycle cost = fixed overhead + linear per-pass
+    cost. It must converge near the 0.1 s target, stay clamped to [1,1024],
+    and — because rpp is power-of-two quantized — request at most
+    log2(1024)+1 distinct rpp values (each distinct value = one XLA compile)."""
+    from rayzath_tpu.headless import balance_rpp, LOAD_TIME_TARGET
+
+    for per_pass, overhead in [(0.02, 0.002), (0.0004, 0.001),
+                               (0.5, 0.01), (1e-6, 1e-5)]:
+        floaty, rpp = 1.0, 1
+        seen = set()
+        durations = []
+        for _ in range(60):
+            duration = overhead + per_pass * rpp
+            durations.append(duration)
+            seen.add(rpp)
+            floaty, rpp = balance_rpp(floaty, rpp, duration)
+            assert 1 <= rpp <= 1024
+        assert len(seen) <= 11, f"{len(seen)} distinct rpp values = compiles"
+        # steady state: the last cycles sit within the quantized band around
+        # the target (a power-of-two grid can at worst straddle it by ~2x),
+        # unless the cost function pins the clamp (per_pass too large/small)
+        steady = durations[-5:]
+        ideal = max(1.0, min(1024.0, LOAD_TIME_TARGET / per_pass))
+        if 1.0 < ideal < 1024.0:
+            for dur in steady:
+                assert LOAD_TIME_TARGET / 3 < dur < LOAD_TIME_TARGET * 3, (
+                    f"per_pass={per_pass}: steady cycle {dur:.4f}s far from "
+                    f"target {LOAD_TIME_TARGET}s")
+        elif ideal >= 1024.0:
+            assert rpp == 1024
+        else:
+            assert rpp == 1
