@@ -27,27 +27,30 @@ class RenderConfig:
     tracing: Tracing = Tracing()
     light_sampling: LightSampling = LightSampling()
     # TPU-specific knobs (not in reference):
-    # Scenes with <= this many triangles skip the BVH for the dense MXU
-    # projection test. Measured crossover on one TPU chip: the dense path runs
-    # ~1.3 Mrays/s at 9k tris (cost linear in F); the stackless BVH traversal
-    # with compaction runs ~1.65 Mrays/s nearly independent of F.
-    brute_force_threshold: int = 8192
+    # Scenes with <= this many triangles take the dense XLA projection test
+    # (one fused chunk, no tables). Above it, the Pallas cluster traversal
+    # (ops/traverse_cluster.py) culls per 1024-ray block and intersects only
+    # visited ~128-triangle clusters, with intermediates kept in VMEM.
+    brute_force_threshold: int = 128
     bvh_leaf_size: int = 8
     chunk: int = 512                   # brute-force triangle tile size
-    # Use the Pallas packet-traversal kernel (ops/traverse_packet.py) for
-    # BVH scenes whose tables fit VMEM. ~7x faster than the XLA skip-link
-    # walk on one chip; disabled automatically on the GSPMD-sharded path
-    # (pallas_call does not auto-partition) and for oversized scenes.
+    # Use the Pallas cluster kernels. False falls back to the pure-XLA
+    # skip-link walk (ops/traverse.py) — the escape hatch for backends where
+    # Mosaic is unavailable (the GSPMD auto-sharded path; shard_map keeps
+    # Pallas, parallel/mesh.py).
     packet_traversal: bool = True
     # Acceleration structure: None = auto (two-level TLAS/BLAS when instancing
-    # would duplicate geometry or the scene overflows the resident packet
-    # table; world-space soup otherwise). True/False forces the choice.
+    # would duplicate geometry substantially; world-space soup otherwise).
+    # True/False forces the choice.
     two_level: Optional[bool] = None
-    # Sort rays by a spatial-directional coherence key before packet/TLAS
-    # traversal (ops/sort_rays.py). The shared block walk visits the union of
-    # its rays' nodes: coherent blocks keep that union small; incoherent
-    # bounce wavefronts would otherwise walk the whole tree per block.
-    ray_sort: bool = True
+    # Sort rays by a spatial-directional coherence key before traversal
+    # (ops/sort_rays.py). OFF by default: a 512^2 argsort costs ~2.7 ms on
+    # chip — more than an entire bounce's budget at the north-star rate —
+    # while reshape-only 32x32 image tiling (integrator._tile) recovers most
+    # primary-ray coherence for free and bounce rays stay origin-coherent in
+    # pixel order. Turn on only for workloads dominated by incoherent
+    # secondary traversal where 2.7 ms/call amortizes.
+    ray_sort: bool = False
 
     def with_(self, **kw) -> "RenderConfig":
         return replace(self, **kw)

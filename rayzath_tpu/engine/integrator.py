@@ -42,9 +42,8 @@ from ..ops.intersect import (project_closest, project_shadow, refine_hit,
                              refine_tri)
 from ..ops.sort_rays import sort_perm
 from ..ops.traverse import bvh_closest, bvh_shadow
-from ..ops.traverse_mxleaf import mx_closest, mx_shadow
-from ..ops.traverse_packet import (packet_closest, packet_shadow,
-                                   PACKET_MAX_NODES, BLOCK as _PACKET_BLOCK)
+from ..ops.traverse_cluster import (cluster_closest, cluster_shadow,
+                                    BLOCK as _CLUSTER_BLOCK)
 from ..ops.traverse_tlas import tlas_closest, tlas_shadow
 from ..ops.vec import (dot, normalize, lerp, reflect, halfway,
                        cosine_sample_hemisphere, sample_sphere, sample_hemisphere,
@@ -106,10 +105,10 @@ def material_fetch(scene: DeviceScene, mat_id, texcrd) -> MatProps:
 # intersection dispatch (brute force for small scenes, BVH otherwise)
 # ---------------------------------------------------------------------------
 
-TILE = 32  # packet tile side
-# one image tile must fill exactly one packet block, or tiles silently
+TILE = 32  # image tile side
+# one image tile must fill exactly one traversal block, or tiles silently
 # misalign with blocks and the coherence win disappears
-assert TILE * TILE == _PACKET_BLOCK
+assert TILE * TILE == _CLUSTER_BLOCK
 
 
 def _tileable(hw, r: int) -> bool:
@@ -212,19 +211,14 @@ def closest_hit(scene: DeviceScene, cfg: RenderConfig, o, d, near, far,
         b2 = jnp.where(hit_mask, b2_r, 0.0)
         return t, tid, inst, b1, b2, ext
 
-    if scene.n_triangles <= cfg.brute_force_threshold:
+    if scene.n_triangles <= cfg.brute_force_threshold or scene.cl_box is None:
         t, tid = project_closest(o, d, near, far, scene.tri_pw, scene.tri_pc,
                                  chunk=min(cfg.chunk, scene.tri_v0.shape[0]))
-    elif _use_mxleaf(scene, cfg):
+    elif cfg.packet_traversal:
         t, tid = _run_coherent(
             cfg, hw, o, d, (near, far),
-            lambda o, d, near, far: mx_closest(o, d, near, far, scene.mx_tab,
-                                               scene.mx_lw, scene.mx_order))
-    elif _use_packet(scene, cfg):
-        t, tid = _run_coherent(
-            cfg, hw, o, d, (near, far),
-            lambda o, d, near, far: packet_closest(o, d, near, far,
-                                                   scene.pkt_tab))
+            lambda o, d, near, far: cluster_closest(
+                o, d, near, far, scene.cl_box, scene.cl_lw, scene.cl_order))
     else:
         hit = bvh_closest(o, d, near, far,
                           scene.aabb_links, scene.node_begin, scene.node_count,
@@ -242,16 +236,7 @@ def closest_hit(scene: DeviceScene, cfg: RenderConfig, o, d, near, far,
     return t, tid, None, b1, b2, ext
 
 
-def _use_packet(scene: DeviceScene, cfg: RenderConfig) -> bool:
-    return (cfg.packet_traversal
-            and scene.node_begin.shape[0] <= PACKET_MAX_NODES)
-
-
-def _use_mxleaf(scene: DeviceScene, cfg: RenderConfig) -> bool:
-    return cfg.packet_traversal and scene.mx_tab is not None
-
-
-def texture_shadow_factor(scene: DeviceScene, o, d, dist, chunk: int = 8):
+def texture_shadow_factor(scene: DeviceScene, o, d, dist, chunk: int = 512):
     """Texture part of the transmission-filtered shadow mask.
 
     The reference fetches the material's TEXTURE at every shadow-ray hit
@@ -268,14 +253,24 @@ def texture_shadow_factor(scene: DeviceScene, o, d, dist, chunk: int = 8):
     mid-walk; here both factors always complete. The results differ only
     where the mask is already ~0 (the light term vanishes either way)."""
     c_total = scene.cut_pw.shape[1] // 3
-    rgb = jnp.ones((o.shape[0], 3), jnp.float32)
-    a = jnp.ones(o.shape[0], jnp.float32)
-    for i0 in range(0, c_total, chunk):
-        c = min(chunk, c_total - i0)
-        w = jax.lax.dynamic_slice_in_dim(
-            scene.cut_pw.reshape(3, 3, c_total), i0, c, 2).reshape(3, 3 * c)
-        cc = jax.lax.dynamic_slice_in_dim(
-            scene.cut_pc.reshape(3, c_total), i0, c, 1).reshape(3 * c)
+    c = min(chunk, c_total)
+    n_chunks = -(-c_total // c)
+    cp = n_chunks * c
+    # pad tables to a chunk multiple with never-hit frames (w = 0,
+    # c = (-1, -1, 1): b1 = -1 invalidates padded slots for every ray)
+    pw = jnp.pad(scene.cut_pw.reshape(3, 3, c_total),
+                 ((0, 0), (0, 0), (0, cp - c_total)))
+    pc = jnp.pad(scene.cut_pc.reshape(3, c_total), ((0, 0), (0, cp - c_total)))
+    pc = pc.at[0, c_total:].set(-1.0).at[1, c_total:].set(-1.0)
+    pc = pc.at[2, c_total:].set(1.0)
+    ct0 = jnp.pad(scene.cut_t0, ((0, cp - c_total), (0, 0)))
+    ct1 = jnp.pad(scene.cut_t1, ((0, cp - c_total), (0, 0)))
+    ct2 = jnp.pad(scene.cut_t2, ((0, cp - c_total), (0, 0)))
+    cmap = jnp.pad(scene.cut_map, (0, cp - c_total))
+
+    def block(i0, rgb, a):
+        w = jax.lax.dynamic_slice_in_dim(pw, i0, c, 2).reshape(3, 3 * c)
+        cc = jax.lax.dynamic_slice_in_dim(pc, i0, c, 1).reshape(3 * c)
         hi = jax.lax.Precision.HIGHEST
         ol = jnp.matmul(o, w, precision=hi) + cc            # [R, 3c]
         dl = jnp.matmul(d, w, precision=hi)
@@ -287,18 +282,28 @@ def texture_shadow_factor(scene: DeviceScene, o, d, dist, chunk: int = 8):
         b2 = oy_ + t * dy_
         valid = ((b1 >= 0.0) & (b1 <= 1.0) & (b2 >= 0.0) & (b1 + b2 <= 1.0)
                  & (t > 0.0) & (t < dist[:, None]))          # [R, c]
-        t0 = scene.cut_t0[i0:i0 + c]
-        t1 = scene.cut_t1[i0:i0 + c]
-        t2 = scene.cut_t2[i0:i0 + c]
+        t0 = jax.lax.dynamic_slice_in_dim(ct0, i0, c, 0)
+        t1 = jax.lax.dynamic_slice_in_dim(ct1, i0, c, 0)
+        t2 = jax.lax.dynamic_slice_in_dim(ct2, i0, c, 0)
         uv = (t0[None] + b1[..., None] * (t1 - t0)[None]
               + b2[..., None] * (t2 - t0)[None])             # [R, c, 2]
-        mid = jnp.broadcast_to(scene.cut_map[i0:i0 + c][None], valid.shape)
+        mid = jnp.broadcast_to(
+            jax.lax.dynamic_slice_in_dim(cmap, i0, c, 0)[None], valid.shape)
         tex = tex_ops.fetch_scene(scene, mid.reshape(-1),
                                   uv.reshape(-1, 2)).reshape(valid.shape + (4,))
         fac_rgb = jnp.where(valid[..., None], tex[..., :3], 1.0)
         fac_a = jnp.where(valid, 1.0 - tex[..., 3], 1.0)
-        rgb = rgb * jnp.prod(fac_rgb, axis=1)
-        a = a * jnp.prod(fac_a, axis=1)
+        return rgb * jnp.prod(fac_rgb, axis=1), a * jnp.prod(fac_a, axis=1)
+
+    rgb = jnp.ones((o.shape[0], 3), jnp.float32)
+    a = jnp.ones(o.shape[0], jnp.float32)
+    if n_chunks == 1:
+        return block(0, rgb, a)
+
+    def body(carry, i):
+        return block(i * c, *carry), None
+
+    (rgb, a), _ = jax.lax.scan(body, (rgb, a), jnp.arange(n_chunks))
     return rgb, a
 
 
@@ -334,23 +339,17 @@ def _shadow_core(scene: DeviceScene, cfg: RenderConfig, o, d, dist, hw=None):
 
     op_rgb = scene.mat_color[scene.tri_mat][:, :3]
     op_a = 1.0 - scene.mat_color[scene.tri_mat][:, 3]
-    if scene.n_triangles <= cfg.brute_force_threshold:
+    if scene.n_triangles <= cfg.brute_force_threshold or scene.cl_box is None:
         return project_shadow(o, d, dist, scene.tri_pw, scene.tri_pc,
                               op_rgb, op_a,
                               chunk=min(cfg.chunk, scene.tri_v0.shape[0]))
-    if _use_mxleaf(scene, cfg):
+    if cfg.packet_traversal:
         return _run_coherent(
             cfg, hw, o, d, (dist,),
-            lambda o, d, dist: mx_shadow(
-                o, d, dist, scene.mx_tab, scene.mx_lw, scene.mx_order,
-                scene.mx_base, scene.mx_count, scene.tri_v0, scene.tri_e1,
+            lambda o, d, dist: cluster_shadow(
+                o, d, dist, scene.cl_box, scene.cl_lw, scene.cl_order,
+                scene.cl_base, scene.cl_count, scene.tri_v0, scene.tri_e1,
                 scene.tri_e2, op_rgb, op_a))
-    if _use_packet(scene, cfg):
-        return _run_coherent(
-            cfg, hw, o, d, (dist,),
-            lambda o, d, dist: packet_shadow(o, d, dist, scene.pkt_tab,
-                                             scene.tri_v0, scene.tri_e1,
-                                             scene.tri_e2, op_rgb, op_a))
     return bvh_shadow(o, d, dist,
                       scene.aabb_links, scene.node_begin, scene.node_count,
                       scene.tri_v0, scene.tri_e1, scene.tri_e2, op_rgb, op_a,

@@ -37,7 +37,6 @@ from flax import struct
 
 from ..ops.bvh import build_bvh, compute_skip_links, triangle_aabbs, FlatBVH
 from ..ops.traverse import build_aabb_links
-from ..ops.traverse_packet import build_packet_table
 from ..ops.segments import (SEG_NODES, build_segmented_blas, build_tlas_rows,
                             build_unit_table, transform_matrices,
                             unit_world_aabb)
@@ -75,11 +74,6 @@ class DeviceScene:
     aabb_links: jnp.ndarray   # [8, 8N] f32
     node_begin: jnp.ndarray   # [N] i32
     node_count: jnp.ndarray   # [N] i32 (0 = inner)
-
-    # packet-traversal table (ops/traverse_packet.py): one 128-lane row per
-    # node (AABB + all-octant skip links + leaf triangle block + ids),
-    # VMEM-resident inside the kernel
-    pkt_tab: jnp.ndarray      # [N, 128] f32
 
     # materials SoA (0=world/sky, 1=default)
     mat_color: jnp.ndarray       # [M,4] rgba (alpha: 1=opaque)
@@ -130,14 +124,14 @@ class DeviceScene:
     cut_t2: Any = None
     cut_map: Any = None       # [C] i32 texture map id
 
-    # MXU-leaf traversal tables (ops/traverse_mxleaf.py): shallow BVH with
-    # 128-triangle leaves intersected as matmuls — the fast soup path for
-    # scenes past the brute-force sweet spot (None when not built)
-    mx_tab: Any = None        # [N,128] node rows
-    mx_lw: Any = None         # [L,4,384] leaf projection frames
-    mx_order: Any = None      # [T] i32 mxleaf order -> soup index
-    mx_base: Any = None       # [L] i32 leaf triangle base (mxleaf order)
-    mx_count: Any = None      # [L] i32 leaf triangle count
+    # flat cluster-traversal tables (ops/traverse_cluster.py): BVH leaves of
+    # ~128 triangles visited front-to-back as MXU-dense blocks — the fast
+    # soup path for scenes past the brute-force sweet spot (None when tiny)
+    cl_box: Any = None        # [8,Cp] lane-major cluster AABB table
+    cl_lw: Any = None         # [C,4,384] cluster projection frames
+    cl_order: Any = None      # [T] i32 cluster order -> soup index
+    cl_base: Any = None       # [C] i32 cluster triangle base (cluster order)
+    cl_count: Any = None      # [C] i32 cluster triangle count
 
     tlas_tab: Any = None        # [TN,128] TLAS rows (ops/segments.py)
     unit_tab: Any = None        # [U,128] unit rows (transform + segment ref)
@@ -400,7 +394,6 @@ def _two_level_arrays(world: World, mat_index: dict, leaf_size: int,
         aabb_links=jnp.zeros((8, 8), jnp.float32),
         node_begin=jnp.zeros(1, jnp.int32),
         node_count=jnp.zeros(1, jnp.int32),
-        pkt_tab=jnp.zeros((1, 128), jnp.float32),
         # two-level structure
         tlas_tab=jnp.asarray(tlas_tab),
         unit_tab=jnp.asarray(unit_tab),
@@ -597,27 +590,20 @@ def compile_world(world: World, leaf_size: int = 8,
     tri_inst = _pad_rows(tri_inst, n_tri_pad, -1)
     tri_pw, tri_pc = triangle_frames(tri_v0, tri_e1, tri_e2)
 
-    # packet-traversal table (triangles already in leaf order; opacity lanes
-    # are filled from mat_color in-jit by shadow_test so material edits and
-    # training never see stale opacity)
-    pkt_tab = build_packet_table(
-        bvh.node_min, bvh.node_max, bvh.node_begin, bvh.node_count,
-        first8, skip8, tri_v0, tri_e1, tri_e2)
-
-    # MXU-leaf tables (the fast traversal for anything past brute force);
+    # cluster tables (the fast traversal for anything past brute force);
     # skipped for tiny scenes where the dense path wins anyway
-    mx_fields = {}
-    if n_tri > 512:
-        from ..ops.traverse_mxleaf import build_mxleaf_tables
-        mx_tab, mx_lw, mx_order, mx_base, mx_count = build_mxleaf_tables(
+    cl_fields = {}
+    if n_tri > 128:
+        from ..ops.traverse_cluster import build_cluster_tables
+        cl_box, cl_lw, cl_order, cl_base, cl_count = build_cluster_tables(
             tri_v0[:n_tri], tri_e1[:n_tri], tri_e2[:n_tri])
-        mx_fields = dict(
-            mx_tab=jnp.asarray(mx_tab), mx_lw=jnp.asarray(mx_lw),
-            mx_order=jnp.asarray(mx_order), mx_base=jnp.asarray(mx_base),
-            mx_count=jnp.asarray(mx_count))
+        cl_fields = dict(
+            cl_box=jnp.asarray(cl_box), cl_lw=jnp.asarray(cl_lw),
+            cl_order=jnp.asarray(cl_order), cl_base=jnp.asarray(cl_base),
+            cl_count=jnp.asarray(cl_count))
 
     return DeviceScene(
-        **mx_fields,
+        **cl_fields,
         **cut_fields, n_cutout=n_cutout,
         tri_v0=jnp.asarray(tri_v0), tri_e1=jnp.asarray(tri_e1), tri_e2=jnp.asarray(tri_e2),
         tri_n0=jnp.asarray(tri_n0), tri_n1=jnp.asarray(tri_n1), tri_n2=jnp.asarray(tri_n2),
@@ -626,7 +612,6 @@ def compile_world(world: World, leaf_size: int = 8,
         tri_pw=jnp.asarray(tri_pw), tri_pc=jnp.asarray(tri_pc),
         aabb_links=jnp.asarray(aabb_links),
         node_begin=jnp.asarray(bvh.node_begin), node_count=jnp.asarray(bvh.node_count),
-        pkt_tab=jnp.asarray(pkt_tab),
         mat_color=jnp.asarray(mat_color), mat_metalness=jnp.asarray(mat_metalness),
         mat_roughness=jnp.asarray(mat_roughness), mat_emission=jnp.asarray(mat_emission),
         mat_ior=jnp.asarray(mat_ior), mat_scattering=jnp.asarray(mat_scattering),
