@@ -43,8 +43,9 @@ from ..ops.intersect import (project_closest, project_shadow, refine_hit,
 from ..ops.sort_rays import sort_perm
 from ..ops.traverse import bvh_closest, bvh_shadow
 from ..ops.traverse_cluster import (cluster_closest, cluster_shadow,
+                                    cluster_closest_inst,
+                                    cluster_shadow_inst,
                                     BLOCK as _CLUSTER_BLOCK)
-from ..ops.traverse_tlas import tlas_closest, tlas_shadow
 from ..ops.vec import (dot, normalize, lerp, reflect, halfway,
                        cosine_sample_hemisphere, sample_sphere, sample_hemisphere,
                        sample_disk, fresnel_specular_ratio, cross)
@@ -198,9 +199,8 @@ def closest_hit(scene: DeviceScene, cfg: RenderConfig, o, d, near, far,
     if scene.two_level:
         t, tid, inst = _run_coherent(
             cfg, hw, o, d, (near, far),
-            lambda o, d, near, far: tlas_closest(
-                o, d, near, far, scene.tlas_tab, scene.unit_tab,
-                scene.seg_rows, scene.seg_nodes))
+            lambda o, d, near, far: cluster_closest_inst(
+                o, d, near, far, scene.cu_box, scene.cu_rows, scene.cl_lw))
         v0, e1, e2 = world_tri(scene, jnp.maximum(tid, 0),
                                jnp.maximum(inst, 0))
         t_r, b1_r, b2_r, det = refine_tri(o, d, v0, e1, e2)
@@ -322,18 +322,16 @@ def shadow_test(scene: DeviceScene, cfg: RenderConfig, o, d, dist, hw=None):
 
 def _shadow_core(scene: DeviceScene, cfg: RenderConfig, o, d, dist, hw=None):
     if scene.two_level:
-        # live per-(instance, slot) opacities from the material table: edits
-        # and training are never stale, gradients flow to mat_color
-        mc = scene.mat_color[scene.inst_slot_map]           # [I,64,4]
-        op_rgb_is = mc[..., :3]
-        op_a_is = 1.0 - mc[..., 3]
-        replay = (scene.exp_tri, scene.exp_inst, scene.inst_fwd)
-
+        # opacity resolved live per (instance, slot) from the material
+        # table inside the kernel wrapper: edits and training are never
+        # stale, gradients flow to mat_color through the replay vjp
         def run(o, d, dist):
-            return tlas_shadow(o, d, dist, scene.tlas_tab, scene.unit_tab,
-                               scene.seg_rows, op_rgb_is, op_a_is,
-                               scene.tri_v0, scene.tri_e1, scene.tri_e2,
-                               scene.tri_slot, replay, scene.seg_nodes)
+            return cluster_shadow_inst(
+                o, d, dist, scene.cu_box, scene.cu_rows, scene.cl_lw,
+                scene.u_inst, scene.u_slot, scene.cl_base, scene.cl_count,
+                scene.tri_slot, scene.inst_slot_map, scene.mat_color,
+                scene.tri_v0, scene.tri_e1, scene.tri_e2,
+                scene.exp_tri, scene.exp_inst, scene.inst_fwd)
 
         return _run_coherent(cfg, hw, o, d, (dist,), run)
 

@@ -37,9 +37,7 @@ from flax import struct
 
 from ..ops.bvh import build_bvh, compute_skip_links, triangle_aabbs, FlatBVH
 from ..ops.traverse import build_aabb_links
-from ..ops.segments import (SEG_NODES, build_segmented_blas, build_tlas_rows,
-                            build_unit_table, transform_matrices,
-                            unit_world_aabb)
+from ..ops.segments import transform_matrices
 from ..ops.intersect import triangle_frames
 from ..utils.hostmath import normalize as nrm
 from .material import Material
@@ -133,9 +131,14 @@ class DeviceScene:
     cl_base: Any = None       # [C] i32 cluster triangle base (cluster order)
     cl_count: Any = None      # [C] i32 cluster triangle count
 
-    tlas_tab: Any = None        # [TN,128] TLAS rows (ops/segments.py)
-    unit_tab: Any = None        # [U,128] unit rows (transform + segment ref)
-    seg_rows: Any = None        # [Rw,128] segmented BLAS packet rows
+    # two-level unit tables (ops/traverse_cluster.py instanced variant):
+    # units = (instance x object-space mesh cluster) with world AABBs;
+    # cl_lw/cl_base/cl_count above hold the SHARED per-mesh cluster frames
+    # (object space) in this mode
+    cu_box: Any = None          # [8,Up] lane-major unit AABB table
+    cu_rows: Any = None         # [Up,128] unit rows (AABB+slot+inst+inv)
+    u_inst: Any = None          # [U] i32 unit -> instance id
+    u_slot: Any = None          # [U] i32 unit -> mesh-cluster slot
     inst_fwd: Any = None        # [I,12] object->world 3x4 (row-major)
     inst_nrm: Any = None        # [I,9] normal matrix 3x3 (row-major)
     inst_slot_map: Any = None   # [I,64] i32 material slot -> global mat id
@@ -152,7 +155,6 @@ class DeviceScene:
     has_maps: bool = struct.field(pytree_node=False, default=False)
     n_cutout: int = struct.field(pytree_node=False, default=0)
     two_level: bool = struct.field(pytree_node=False, default=False)
-    seg_nodes: int = struct.field(pytree_node=False, default=SEG_NODES)
 
 
 @struct.dataclass
@@ -264,12 +266,15 @@ def _mesh_object_arrays(mesh):
     return v0, v1 - v0, v2 - v0, n0, n1, n2, t0, t1, t2, slot
 
 
-def _two_level_arrays(world: World, mat_index: dict, leaf_size: int,
-                      seg_nodes: int) -> dict:
-    """Two-level geometry: shared per-mesh segmented BLAS (object space) +
-    per-instance transforms + TLAS over (instance x segment) units. The
-    non-duplicating counterpart of the world-space soup (reference
-    cuda_bvh.cuh:114-171 + cuda_instance.cuh:167-264)."""
+def _two_level_arrays(world: World, mat_index: dict) -> dict:
+    """Two-level geometry: shared per-mesh object-space cluster tables +
+    per-instance transforms + flat unit table over (instance x cluster).
+    The non-duplicating counterpart of the world-space soup (reference
+    TLAS/BLAS semantics, cuda_bvh.cuh:114-171 + cuda_instance.cuh:167-264,
+    mapped onto the cluster traversal of ops/traverse_cluster.py)."""
+    from ..ops.traverse_cluster import (build_cluster_tables,
+                                        build_unit_tables, _transform_aabb,
+                                        B_MIN, B_MAX)
     meshes: list = []
     mesh_pos: dict[int, int] = {}
     valid: list[tuple[int, Any]] = []
@@ -284,19 +289,29 @@ def _two_level_arrays(world: World, mat_index: dict, leaf_size: int,
 
     arrays = [[] for _ in range(9)]
     slots = []
-    blas_list = []
+    frames_parts, base_parts, count_parts = [], [], []
+    mesh_cmin, mesh_cmax = [], []        # object-space cluster boxes per mesh
+    mesh_slot_base: list[int] = []       # first global cluster slot per mesh
     mesh_tri_base: list[int] = []
     tri_base = 0
+    slot_base = 0
     for m in meshes:
         v0, e1, e2, n0, n1, n2, t0, t1, t2, slot = _mesh_object_arrays(m)
-        blas = build_segmented_blas(v0, e1, e2, slot, tri_base,
-                                    seg_nodes=seg_nodes, leaf_size=leaf_size)
-        o = blas.order
+        box_m, frames_m, order_m, base_m, count_m = build_cluster_tables(
+            v0, e1, e2)
+        o = order_m
         for lst, arr in zip(arrays, (v0, e1, e2, n0, n1, n2, t0, t1, t2)):
             lst.append(arr[o])
         slots.append(slot[o])
-        blas_list.append(blas)
+        c = len(base_m)
+        frames_parts.append(frames_m)
+        base_parts.append(base_m + tri_base)
+        count_parts.append(count_m)
+        mesh_cmin.append(box_m[B_MIN:B_MIN + 3, :c].T.copy())
+        mesh_cmax.append(box_m[B_MAX:B_MAX + 3, :c].T.copy())
+        mesh_slot_base.append(slot_base)
         mesh_tri_base.append(tri_base)
+        slot_base += c
         tri_base += len(v0)
 
     n_inst_total = len(world.instances)
@@ -307,61 +322,58 @@ def _two_level_arrays(world: World, mat_index: dict, leaf_size: int,
     inst_slot_map = np.full((max(n_inst_total, 1), 64), DEFAULT_MATERIAL_ID,
                             np.int32)
 
-    rows_parts, row_base = [], 0
-    mesh_row_base = []
-    for blas in blas_list:
-        rows_parts.append(blas.rows)
-        mesh_row_base.append(row_base)
-        row_base += len(blas.rows)
-
-    u_inv, u_base, u_cnt, u_inst, u_min, u_max = [], [], [], [], [], []
+    u_min, u_max, u_slot, u_inst, u_base, u_cnt, u_inv = ([] for _ in range(7))
     exp_tri_parts, exp_inst_parts = [], []
     for gi, inst in valid:
         mi = mesh_pos[id(inst.mesh)]
-        blas = blas_list[mi]
         fwd, inv, nmat = transform_matrices(inst.effective_transform())
         inst_fwd[gi] = fwd.reshape(12)
         inst_nrm[gi] = nmat.reshape(9)
-        for s, mat in enumerate(inst.materials[:64]):
+        for s_, mat in enumerate(inst.materials[:64]):
             if mat is not None:
-                inst_slot_map[gi, s] = mat_index.get(id(mat),
-                                                     DEFAULT_MATERIAL_ID)
-        wmin, wmax = unit_world_aabb(fwd, blas.seg_min, blas.seg_max)
-        s = len(blas.seg_base)
-        u_inv.append(np.tile(inv[None], (s, 1, 1)))
-        u_base.append(blas.seg_base + mesh_row_base[mi])
-        u_cnt.append(blas.seg_count)
-        u_inst.append(np.full(s, gi, np.int32))
-        u_min.append(wmin)
-        u_max.append(wmax)
+                inst_slot_map[gi, s_] = mat_index.get(id(mat),
+                                                      DEFAULT_MATERIAL_ID)
+        cmin, cmax = mesh_cmin[mi], mesh_cmax[mi]
+        for ci in range(len(cmin)):
+            wmin, wmax = _transform_aabb(fwd, cmin[ci], cmax[ci])
+            u_min.append(wmin)
+            u_max.append(wmax)
+            u_slot.append(mesh_slot_base[mi] + ci)
+            u_inst.append(gi)
+            u_base.append(base_parts[mi][ci])
+            u_cnt.append(count_parts[mi][ci])
+            u_inv.append(inv)
         ntri = inst.mesh.triangle_count
         exp_tri_parts.append(np.arange(ntri, dtype=np.int32)
                              + mesh_tri_base[mi])
         exp_inst_parts.append(np.full(ntri, gi, np.int32))
 
-    if u_base:
-        unit_tab = build_unit_table(np.concatenate(u_inv),
-                                    np.concatenate(u_base),
-                                    np.concatenate(u_cnt),
-                                    np.concatenate(u_inst))
-        tlas_tab = build_tlas_rows(np.concatenate(u_min),
-                                   np.concatenate(u_max))
+    if u_slot:
+        cu_box, cu_rows = build_unit_tables(
+            np.asarray(u_min, np.float32), np.asarray(u_max, np.float32),
+            np.asarray(u_slot, np.int32), np.asarray(u_inst, np.int32),
+            np.asarray(u_base, np.int32), np.asarray(u_cnt, np.int32),
+            np.asarray(u_inv, np.float32))
+        u_inst_a = np.asarray(u_inst, np.int32)
+        u_slot_a = np.asarray(u_slot, np.int32)
         exp_tri = np.concatenate(exp_tri_parts)
         exp_inst = np.concatenate(exp_inst_parts)
+        cl_lw = np.concatenate(frames_parts)
+        cl_base = np.concatenate(base_parts)
+        cl_count = np.concatenate(count_parts)
     else:
-        unit_tab = build_unit_table(np.zeros((0, 3, 4), np.float32),
-                                    np.zeros(0, np.int32),
-                                    np.zeros(0, np.int32),
-                                    np.zeros(0, np.int32))
-        tlas_tab = build_tlas_rows(np.zeros((0, 3), np.float32),
-                                   np.zeros((0, 3), np.float32))
+        cu_box, cu_rows = build_unit_tables(
+            np.zeros((0, 3), np.float32), np.zeros((0, 3), np.float32),
+            np.zeros(0, np.int32), np.zeros(0, np.int32),
+            np.zeros(0, np.int32), np.zeros(0, np.int32),
+            np.zeros((0, 3, 4), np.float32))
+        u_inst_a = np.zeros(1, np.int32)
+        u_slot_a = np.zeros(1, np.int32)
         exp_tri = np.zeros(1, np.int32)
         exp_inst = np.zeros(1, np.int32)
-
-    # pad rows by one segment so a streamed DMA from the last segment's base
-    # never reads past the end of the table
-    rows_parts.append(np.zeros((seg_nodes, 128), np.float32))
-    seg_rows = np.concatenate(rows_parts, axis=0)
+        cl_lw = np.zeros((1, 4, 384), np.float32)
+        cl_base = np.zeros(1, np.int32)
+        cl_count = np.zeros(1, np.int32)
 
     if tri_base:
         tri_v0, tri_e1, tri_e2, tri_n0, tri_n1, tri_n2, tri_t0, tri_t1, tri_t2 = (
@@ -394,10 +406,14 @@ def _two_level_arrays(world: World, mat_index: dict, leaf_size: int,
         aabb_links=jnp.zeros((8, 8), jnp.float32),
         node_begin=jnp.zeros(1, jnp.int32),
         node_count=jnp.zeros(1, jnp.int32),
-        # two-level structure
-        tlas_tab=jnp.asarray(tlas_tab),
-        unit_tab=jnp.asarray(unit_tab),
-        seg_rows=jnp.asarray(seg_rows),
+        # two-level structure (shared mesh clusters + instanced units)
+        cl_lw=jnp.asarray(cl_lw),
+        cl_base=jnp.asarray(cl_base),
+        cl_count=jnp.asarray(cl_count),
+        cu_box=jnp.asarray(cu_box),
+        cu_rows=jnp.asarray(cu_rows),
+        u_inst=jnp.asarray(u_inst_a),
+        u_slot=jnp.asarray(u_slot_a),
         inst_fwd=jnp.asarray(inst_fwd),
         inst_nrm=jnp.asarray(inst_nrm),
         inst_slot_map=jnp.asarray(inst_slot_map),
@@ -408,8 +424,7 @@ def _two_level_arrays(world: World, mat_index: dict, leaf_size: int,
 
 
 def compile_world(world: World, leaf_size: int = 8,
-                  two_level: Optional[bool] = None,
-                  seg_nodes: int = SEG_NODES) -> DeviceScene:
+                  two_level: Optional[bool] = None) -> DeviceScene:
     """Flatten the host world into a DeviceScene (see module docstring).
 
     ``two_level`` selects the acceleration structure: False = world-space
@@ -479,7 +494,7 @@ def compile_world(world: World, leaf_size: int = 8,
         two_level = expanded > 8192 and expanded >= 2 * unique
 
     if two_level:
-        geo, n_tri = _two_level_arrays(world, mat_index, leaf_size, seg_nodes)
+        geo, n_tri = _two_level_arrays(world, mat_index)
         return DeviceScene(
             **geo,
             **cut_fields, n_cutout=n_cutout,
@@ -494,7 +509,7 @@ def compile_world(world: World, leaf_size: int = 8,
             n_direct_lights=len(world.direct_lights),
             n_instances=len(world.instances),
             has_maps=k > 0,
-            two_level=True, seg_nodes=seg_nodes,
+            two_level=True,
         )
 
     # ---- world-space triangle soup ----

@@ -617,3 +617,393 @@ def _cluster_shadow_bwd(res, g):
 
 
 cluster_shadow.defvjp(_cluster_shadow_fwd, _cluster_shadow_bwd)
+
+
+# ---------------------------------------------------------------------------
+# instanced (two-level) variant: units = (instance, mesh cluster)
+# ---------------------------------------------------------------------------
+#
+# The reference's TLAS-over-instances + BLAS-per-mesh traversal
+# (cuda_bvh.cuh:114-171 + cuda_instance.cuh:167-264) maps onto the same flat
+# design: a UNIT is one (instance, object-space mesh cluster) pair with a
+# world-space AABB. The block cull/rank/visit loop is identical to the soup
+# kernels; a visit additionally transforms the block's rays into the unit's
+# object space (12 scalar FMAs per ray row — the object->world t metric is
+# preserved because the direction is transformed UNnormalized, so
+# T(o + t d) = T(o) + t L d). Mesh cluster frames are shared by all
+# instances of a mesh — geometry is never duplicated (the scaling property
+# the reference gets from its shared Cuda::Mesh BLAS).
+
+# u_rows lane layout ([Up, 128] f32, one row per unit)
+U_MIN = 0               # lanes 0..2: world AABB min
+U_MAX = 3               # lanes 3..5: world AABB max
+U_SLOT = 6              # mesh-cluster slot into the frames table
+U_INST = 7              # instance id
+U_BASE = 8              # first triangle (device order) of the cluster
+U_INV = 9               # lanes 9..20: world->object 3x4 (row-major)
+U_CNT = 21              # triangle count (0 = padding row)
+
+
+def _transform_aabb(fwd, bmin, bmax):
+    """World AABB of an object-space box under a 3x4 transform (host)."""
+    pts = np.array([[x, y, z]
+                    for x in (bmin[0], bmax[0])
+                    for y in (bmin[1], bmax[1])
+                    for z in (bmin[2], bmax[2])], np.float32)
+    w = pts @ fwd[:, :3].T + fwd[:, 3]
+    return w.min(0), w.max(0)
+
+
+def build_unit_tables(wmin, wmax, slot, inst, tri_base, count, inv):
+    """Host build of the unit tables.
+
+    wmin/wmax [U,3] world AABBs; slot/inst/tri_base/count [U] i32;
+    inv [U,3,4] world->object transforms. Returns (u_box [8, Up] lane-major
+    — the layout :func:`_cluster_dists` expects — and u_rows [Up, 128])."""
+    u = len(slot)
+    up = max(128, -(-max(u, 1) // 128) * 128)
+    box = np.zeros((8, up), np.float32)
+    box[B_MIN:B_MIN + 3, :] = 3e38
+    box[B_MAX:B_MAX + 3, :] = -3e38
+    rows = np.zeros((max(u, 1), 128), np.float32)
+    if u:
+        box[B_MIN:B_MIN + 3, :u] = wmin.T
+        box[B_MAX:B_MAX + 3, :u] = wmax.T
+        box[B_BASE, :u] = slot.astype(np.float32)
+        box[B_CNT, :u] = count.astype(np.float32)
+        rows[:u, U_MIN:U_MIN + 3] = wmin
+        rows[:u, U_MAX:U_MAX + 3] = wmax
+        rows[:u, U_SLOT] = slot.astype(np.float32)
+        rows[:u, U_INST] = inst.astype(np.float32)
+        rows[:u, U_BASE] = tri_base.astype(np.float32)
+        rows[:u, U_INV:U_INV + 12] = inv.reshape(u, 12)
+        rows[:u, U_CNT] = count.astype(np.float32)
+    return box, rows
+
+
+def unit_opacity(mat_color, inst_slot_map, tri_slot, u_inst, u_slot,
+                 cl_base, cl_count, cluster_t: int = CLUSTER_T):
+    """In-jit [U, 4, ct] per-unit rgba opacity: the unit's cluster triangles
+    resolved through ITS instance's material-slot table (live values —
+    material edits and training are never stale). Padding slots get 1."""
+    ct = cluster_t
+    idx = cl_base[u_slot][:, None] + jnp.arange(ct)[None, :]        # [U,ct]
+    valid = jnp.arange(ct)[None, :] < cl_count[u_slot][:, None]
+    idx = jnp.clip(idx, 0, max(tri_slot.shape[0] - 1, 0))
+    slot = tri_slot[idx]                                            # [U,ct]
+    mid = inst_slot_map[u_inst[:, None], slot]                      # [U,ct]
+    mc = mat_color[mid]                                             # [U,ct,4]
+    ops = jnp.concatenate([mc[..., :3], 1.0 - mc[..., 3:4]], axis=-1)
+    vals = jnp.where(valid[..., None], ops, 1.0)
+    return jnp.transpose(vals, (0, 2, 1))                           # [U,4,ct]
+
+
+def _object_rays(row, ox, oy, oz, dx, dy, dz):
+    """Transform the block's world rays into a unit's object space and
+    repack as [4, B] projection matrices (offset row 1 for origins, 0 for
+    directions). ``row`` is the unit's [1, 128] u_rows slice."""
+    a = [row[0, U_INV + k] for k in range(12)]
+    oxl = a[0] * ox + a[1] * oy + a[2] * oz + a[3]
+    oyl = a[4] * ox + a[5] * oy + a[6] * oz + a[7]
+    ozl = a[8] * ox + a[9] * oy + a[10] * oz + a[11]
+    dxl = a[0] * dx + a[1] * dy + a[2] * dz
+    dyl = a[4] * dx + a[5] * dy + a[6] * dz
+    dzl = a[8] * dx + a[9] * dy + a[10] * dz
+    one = jnp.ones_like(ox)
+    o4l = jnp.concatenate([oxl, oyl, ozl, one], axis=0)
+    d4l = jnp.concatenate([dxl, dyl, dzl, jnp.zeros_like(ox)], axis=0)
+    return o4l, d4l
+
+
+def _closest_kernel_inst(n_units: int, streamed: bool):
+    def kern(box_ref, rows_ref, lw_ref, o4_ref, d4_ref, nf_ref,
+             t_ref, id_ref, inst_ref, *scratch):
+        o4 = o4_ref[:]
+        d4 = d4_ref[:]
+        ox, oy, oz, dx, dy, dz, ix, iy, iz = _ray_rows4(o4, d4)
+        near, far_in = nf_ref[0:1, :], nf_ref[1:2, :]
+        far = _scene_clip(box_ref, ox, oy, oz, ix, iy, iz, near, far_in)
+        valid_ray = far > 0.0
+        load_frames = _frame_loader(streamed, lw_ref, scratch)
+        sub_ids = jax.lax.broadcasted_iota(
+            jnp.int32, (CLUSTER_T, BLOCK), 0).astype(jnp.float32)
+
+        t_cap = jnp.max(jnp.where(valid_ray, far, -1.0))
+        dist0 = _cluster_dists(box_ref, ox, oy, oz, dx, dy, dz, valid_ray,
+                               t_cap)
+        rank = _rank_clusters(dist0)
+
+        def body(state):
+            k, best_t, best_id, best_inst, _ = state
+            d_k, c_f = _rank_extract(rank, k, (dist0, _lane_iota(
+                dist0.shape[1]).astype(jnp.float32)))
+            c = c_f.astype(jnp.int32)
+            stop_t = jnp.max(jnp.minimum(best_t, far))
+            proceed = jnp.logical_and(d_k <= stop_t, d_k < INF_GATE)
+            row = rows_ref[pl.ds(c, 1), :]
+            col = [row[0, j] for j in range(8)]
+            tmin, tmax = _ray_slab(col, ox, oy, oz, ix, iy, iz)
+            rhit = ((tmax >= near) & (tmin <= tmax)
+                    & (tmin <= jnp.minimum(far, best_t)))
+
+            def visit(args):
+                best_t, best_id, best_inst = args
+                o4l, d4l = _object_rays(row, ox, oy, oz, dx, dy, dz)
+                slot = row[0, U_SLOT].astype(jnp.int32)
+                lw = load_frames(slot)
+                t, valid = _project_leaf(lw, o4l, d4l, near, best_t)
+                tm = jnp.where(valid, t, BIG)
+                t_new = jnp.min(tm, axis=0, keepdims=True)      # [1, B]
+                got = t_new < BIG * 0.5
+                ids = jnp.where(tm == t_new, sub_ids + row[0, U_BASE],
+                                _ID_BIG)
+                id_new = jnp.min(ids, axis=0, keepdims=True)
+                best_id = jnp.where(got, id_new, best_id)
+                best_inst = jnp.where(got, row[0, U_INST], best_inst)
+                best_t = jnp.where(got, t_new, best_t)
+                return best_t, best_id, best_inst
+
+            best_t, best_id, best_inst = jax.lax.cond(
+                jnp.logical_and(proceed, jnp.any(rhit)), visit, lambda a: a,
+                (best_t, best_id, best_inst))
+            cont = jnp.logical_and(proceed, k + 1 < n_units)
+            return k + 1, best_t, best_id, best_inst, cont
+
+        def cond(state):
+            return state[4]
+
+        _, best_t, best_id, best_inst, _ = jax.lax.while_loop(
+            cond, body,
+            (jnp.int32(0), jnp.minimum(far, BIG),
+             jnp.full((1, BLOCK), -1.0, jnp.float32),
+             jnp.full((1, BLOCK), -1.0, jnp.float32),
+             jnp.array(True)))
+        t_ref[:] = best_t
+        id_ref[:] = best_id
+        inst_ref[:] = best_inst
+    return kern
+
+
+def _shadow_kernel_inst(n_units: int, streamed: bool):
+    def kern(box_ref, rows_ref, lw_ref, op_ref, o4_ref, d4_ref, nf_ref,
+             mr_ref, mg_ref, mb_ref, ma_ref, *scratch):
+        o4 = o4_ref[:]
+        d4 = d4_ref[:]
+        ox, oy, oz, dx, dy, dz, ix, iy, iz = _ray_rows4(o4, d4)
+        zero_row = jnp.zeros((1, BLOCK), jnp.float32)
+        dist_t = _scene_clip(box_ref, ox, oy, oz, ix, iy, iz, zero_row,
+                             nf_ref[0:1, :])
+        valid_ray = dist_t > 0.0
+        load_frames = _frame_loader(streamed, lw_ref, scratch)
+        r128 = jax.lax.broadcasted_iota(jnp.int32, (CLUSTER_T, CLUSTER_T), 0)
+        c128 = jax.lax.broadcasted_iota(jnp.int32, (CLUSTER_T, CLUSTER_T), 1)
+        eye = (r128 == c128).astype(jnp.float32)
+
+        t_cap = jnp.max(jnp.where(valid_ray, dist_t, -1.0))
+        dist0 = _cluster_dists(box_ref, ox, oy, oz, dx, dy, dz, valid_ray,
+                               t_cap)
+        rank = _rank_clusters(dist0)
+
+        def body(state):
+            k, mr, mg, mb, ma, _ = state
+            d_k, c_f = _rank_extract(rank, k, (dist0, _lane_iota(
+                dist0.shape[1]).astype(jnp.float32)))
+            c = c_f.astype(jnp.int32)
+            proceed = jnp.logical_and(d_k < INF_GATE, jnp.max(ma) >= 1e-4)
+            row = rows_ref[pl.ds(c, 1), :]
+            col = [row[0, j] for j in range(8)]
+            tmin, tmax = _ray_slab(col, ox, oy, oz, ix, iy, iz)
+            rhit = ((tmax >= 0.0) & (tmin <= tmax) & (tmin <= dist_t)
+                    & (ma >= 1e-4))
+
+            def visit(args):
+                mr, mg, mb, ma = args
+                o4l, d4l = _object_rays(row, ox, oy, oz, dx, dy, dz)
+                lw = load_frames(row[0, U_SLOT].astype(jnp.int32))
+                t, valid = _project_leaf(lw, o4l, d4l, zero_row, dist_t)
+                oprows = op_ref[pl.ds(c, 1), :, :][0]
+                opc = jax.lax.dot_general(
+                    eye, oprows, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)          # [ct, 4]
+                mr = mr * _prod_sublanes(jnp.where(valid, opc[:, 0:1], 1.0))
+                mg = mg * _prod_sublanes(jnp.where(valid, opc[:, 1:2], 1.0))
+                mb = mb * _prod_sublanes(jnp.where(valid, opc[:, 2:3], 1.0))
+                ma = ma * _prod_sublanes(jnp.where(valid, opc[:, 3:4], 1.0))
+                return mr, mg, mb, ma
+
+            mr, mg, mb, ma = jax.lax.cond(
+                jnp.logical_and(proceed, jnp.any(rhit)), visit, lambda a: a,
+                (mr, mg, mb, ma))
+            cont = jnp.logical_and(proceed, k + 1 < n_units)
+            return k + 1, mr, mg, mb, ma, cont
+
+        def cond(state):
+            return state[5]
+
+        ones = jnp.ones((1, BLOCK), jnp.float32)
+        _, mr, mg, mb, ma, _ = jax.lax.while_loop(
+            cond, body,
+            (jnp.int32(0), ones, ones, ones, ones, jnp.array(True)))
+        mr_ref[:] = mr
+        mg_ref[:] = mg
+        mb_ref[:] = mb
+        ma_ref[:] = ma
+    return kern
+
+
+@jax.jit
+def _cluster_closest_inst_impl(origin, direction, near, far, u_box, u_rows,
+                               frames):
+    R = origin.shape[0]
+    n_units = u_rows.shape[0]
+    streamed = frames.shape[0] > RESIDENT_CLUSTERS
+    rp = ((R + BLOCK - 1) // BLOCK) * BLOCK
+    nb = rp // BLOCK
+    o4 = _ray_mats(origin, 1.0, rp)
+    d4 = _ray_mats(direction, 0.0, rp)
+    nf = jnp.stack([jnp.pad(near, (0, rp - R)),
+                    jnp.pad(far, (0, rp - R), constant_values=-1.0)], axis=0)
+    nf_b = nf.reshape(2, nb, BLOCK).transpose(1, 0, 2)
+    box_spec, _, lw_spec, ray_spec, nf_spec, out_spec = _specs(
+        streamed, u_box.shape, frames.shape)
+    rows_spec = pl.BlockSpec(u_rows.shape, lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)
+
+    def kern(box_ref, rows_ref, lw_ref, o4_ref, d4_ref, nf_ref, t_ref,
+             id_ref, inst_ref, *scratch):
+        inner = _closest_kernel_inst(n_units, streamed)
+        inner(box_ref, rows_ref, lw_ref, o4_ref.at[0], d4_ref.at[0],
+              nf_ref.at[0], t_ref.at[0], id_ref.at[0], inst_ref.at[0],
+              *scratch)
+
+    t, tid, inst = pl.pallas_call(
+        kern,
+        grid=(nb,),
+        out_shape=tuple(jax.ShapeDtypeStruct((nb, 1, BLOCK), jnp.float32)
+                        for _ in range(3)),
+        in_specs=[box_spec, rows_spec, lw_spec, ray_spec, ray_spec, nf_spec],
+        out_specs=tuple(pl.BlockSpec((1, 1, BLOCK), lambda i: (i, 0, 0))
+                        for _ in range(3)),
+        scratch_shapes=_scratch(streamed),
+        interpret=_interpret(),
+    )(u_box, u_rows, frames, o4, d4, nf_b)
+    return (t.reshape(rp)[:R], tid.reshape(rp)[:R].astype(jnp.int32),
+            inst.reshape(rp)[:R].astype(jnp.int32))
+
+
+def cluster_closest_inst(origin, direction, near, far, u_box, u_rows,
+                         frames):
+    """Two-level closest hit. Returns (t [R], tri_id [R] i32 in DEVICE
+    (cluster) order, inst_id [R] i32; -1 = miss). Discrete outputs — the
+    integrator re-derives differentiable t/b1/b2 via refine_tri on the
+    instance-transformed triangle."""
+    t, tid, inst = _cluster_closest_inst_impl(
+        *map(jax.lax.stop_gradient,
+             (origin, direction, near, far, u_box, u_rows, frames)))
+    return (jax.lax.stop_gradient(t), jax.lax.stop_gradient(tid),
+            jax.lax.stop_gradient(inst))
+
+
+@jax.jit
+def _cluster_shadow_inst_impl(origin, direction, dist, u_box, u_rows,
+                              frames, op_tab):
+    R = origin.shape[0]
+    n_units = u_rows.shape[0]
+    streamed = frames.shape[0] > RESIDENT_CLUSTERS
+    rp = ((R + BLOCK - 1) // BLOCK) * BLOCK
+    nb = rp // BLOCK
+    o4 = _ray_mats(origin, 1.0, rp)
+    d4 = _ray_mats(direction, 0.0, rp)
+    nf = jnp.stack([jnp.pad(dist, (0, rp - R), constant_values=-1.0),
+                    jnp.zeros(rp, jnp.float32)], axis=0)
+    nf_b = nf.reshape(2, nb, BLOCK).transpose(1, 0, 2)
+    box_spec, _, lw_spec, ray_spec, nf_spec, out_spec = _specs(
+        streamed, u_box.shape, frames.shape)
+    rows_spec = pl.BlockSpec(u_rows.shape, lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)
+    op_spec = pl.BlockSpec(op_tab.shape, lambda i: (0, 0, 0),
+                           memory_space=pltpu.VMEM)
+
+    def kern(box_ref, rows_ref, lw_ref, op_ref, o4_ref, d4_ref, nf_ref,
+             *rest):
+        outs, scratch = rest[:4], rest[4:]
+        inner = _shadow_kernel_inst(n_units, streamed)
+        inner(box_ref, rows_ref, lw_ref, op_ref, o4_ref.at[0], d4_ref.at[0],
+              nf_ref.at[0], *[o.at[0] for o in outs], *scratch)
+
+    outs = pl.pallas_call(
+        kern,
+        grid=(nb,),
+        out_shape=tuple(jax.ShapeDtypeStruct((nb, 1, BLOCK), jnp.float32)
+                        for _ in range(4)),
+        in_specs=[box_spec, rows_spec, lw_spec, op_spec, ray_spec, ray_spec,
+                  nf_spec],
+        out_specs=tuple(pl.BlockSpec((1, 1, BLOCK), lambda i: (i, 0, 0))
+                        for _ in range(4)),
+        scratch_shapes=_scratch(streamed),
+        interpret=_interpret(),
+    )(u_box, u_rows, frames, op_tab, o4, d4, nf_b)
+    mr, mg, mb, ma = [x.reshape(rp)[:R] for x in outs]
+    return jnp.stack([mr, mg, mb], axis=1), ma
+
+
+@jax.custom_vjp
+def cluster_shadow_inst(origin, direction, dist, u_box, u_rows, frames,
+                        u_inst, u_slot, cl_base, cl_count, tri_slot,
+                        inst_slot_map, mat_color, tri_v0, tri_e1, tri_e2,
+                        exp_tri, exp_inst, inst_fwd):
+    """Two-level shadow traversal: (mask_rgb [R,3], mask_a [R]).
+
+    Opacity comes live from ``mat_color`` through each unit's instance slot
+    table (never stale). Backward replays the test through the dense
+    differentiable projection over the expanded (instance, triangle) set —
+    the same path-replay argument as the soup shadow."""
+    op_tab = unit_opacity(mat_color, inst_slot_map, tri_slot, u_inst,
+                          u_slot, cl_base, cl_count)
+    return _cluster_shadow_inst_impl(origin, direction, dist, u_box, u_rows,
+                                     frames, op_tab)
+
+
+def _cs_inst_fwd(origin, direction, dist, u_box, u_rows, frames,
+                 u_inst, u_slot, cl_base, cl_count, tri_slot,
+                 inst_slot_map, mat_color, tri_v0, tri_e1, tri_e2,
+                 exp_tri, exp_inst, inst_fwd):
+    out = cluster_shadow_inst(origin, direction, dist, u_box, u_rows, frames,
+                              u_inst, u_slot, cl_base, cl_count, tri_slot,
+                              inst_slot_map, mat_color, tri_v0, tri_e1,
+                              tri_e2, exp_tri, exp_inst, inst_fwd)
+    res = (origin, direction, dist, tri_slot, inst_slot_map, mat_color,
+           tri_v0, tri_e1, tri_e2, exp_tri, exp_inst, inst_fwd)
+    return out, res
+
+
+def _cs_inst_bwd(res, g):
+    (origin, direction, dist, tri_slot, inst_slot_map, mat_color,
+     tri_v0, tri_e1, tri_e2, exp_tri, exp_inst, inst_fwd) = res
+
+    def f(origin, direction, dist, tri_v0, tri_e1, tri_e2, mat_color):
+        a = inst_fwd[exp_inst].reshape(-1, 3, 4)          # [K,3,4]
+        lin = a[:, :, :3]
+
+        def l2g(v, translate):
+            w = jnp.einsum("kij,kj->ki", lin, v[exp_tri])
+            return w + a[:, :, 3] if translate else w
+
+        v0w = l2g(tri_v0, True)
+        e1w = l2g(tri_e1, False)
+        e2w = l2g(tri_e2, False)
+        mid = inst_slot_map[exp_inst, tri_slot[exp_tri]]
+        mc = mat_color[mid]
+        pw, pc = _frames_jnp(v0w, e1w, e2w)
+        return project_shadow(origin, direction, dist, pw, pc,
+                              mc[:, :3], 1.0 - mc[:, 3],
+                              chunk=min(512, v0w.shape[0]))
+
+    _, vjp = jax.vjp(f, origin, direction, dist, tri_v0, tri_e1, tri_e2,
+                     mat_color)
+    d_o, d_d, d_dist, d_v0, d_e1, d_e2, d_mc = vjp(g)
+    return (d_o, d_d, d_dist, None, None, None, None, None, None, None,
+            None, None, d_mc, d_v0, d_e1, d_e2, None, None, None)
+
+
+cluster_shadow_inst.defvjp(_cs_inst_fwd, _cs_inst_bwd)
