@@ -37,9 +37,8 @@ from flax import struct
 
 from ..ops.bvh import build_bvh, compute_skip_links, triangle_aabbs, FlatBVH
 from ..ops.traverse import build_aabb_links
-from ..ops.segments import transform_matrices
 from ..ops.intersect import triangle_frames
-from ..utils.hostmath import normalize as nrm
+from ..utils.hostmath import normalize as nrm, transform_matrices
 from .material import Material
 from .texture import TextureMap
 from .world import World
@@ -488,9 +487,9 @@ def compile_world(world: World, leaf_size: int = 8,
                  for m in {id(i.mesh): i.mesh for i in live}.values())
     if two_level is None:
         # two-level only when instancing duplicates 2x+ a scene that is past
-        # the brute-force sweet spot: the MXU-leaf soup traversal
-        # (ops/traverse_mxleaf.py) streams past VMEM, so sheer size no longer
-        # forces two-level — only real geometry duplication does
+        # the brute-force sweet spot: the cluster soup traversal
+        # (ops/traverse_cluster.py) streams past VMEM, so sheer size no
+        # longer forces two-level — only real geometry duplication does
         two_level = expanded > 8192 and expanded >= 2 * unique
 
     if two_level:
@@ -605,10 +604,12 @@ def compile_world(world: World, leaf_size: int = 8,
     tri_inst = _pad_rows(tri_inst, n_tri_pad, -1)
     tri_pw, tri_pc = triangle_frames(tri_v0, tri_e1, tri_e2)
 
-    # cluster tables (the fast traversal for anything past brute force);
-    # skipped for tiny scenes where the dense path wins anyway
+    # cluster tables (the fast traversal past cfg.brute_force_threshold).
+    # Built for every non-empty scene: tiny scenes cost one ~8 KB cluster,
+    # and routing them through the cluster kernel avoids the dense XLA
+    # path's pathological compile (~470 s for the 36-tri Cornell).
     cl_fields = {}
-    if n_tri > 128:
+    if n_tri > 0:
         from ..ops.traverse_cluster import build_cluster_tables
         cl_box, cl_lw, cl_order, cl_base, cl_count = build_cluster_tables(
             tri_v0[:n_tri], tri_e1[:n_tri], tri_e2[:n_tri])

@@ -1,8 +1,8 @@
 """Ray-coherence sorting for packet traversal.
 
-The packet/TLAS kernels (ops/traverse_packet.py, ops/traverse_tlas.py) run ONE
-shared skip-link walk per 1024-ray block: the block visits the union of the
-nodes its rays need. Primary rays in an image tile share a narrow frustum, so
+The cluster kernels (ops/traverse_cluster.py) share one cull + visit loop
+per 1024-ray block: the block visits the union of the clusters its rays
+need. Primary rays in an image tile share a narrow frustum, so
 the union is small — but after a bounce the wavefront is incoherent and a
 block's union approaches the whole tree, collapsing throughput (the reference
 CUDA walk is per-thread, cuda_bvh.cuh:114-171, so it never pays this cost; on

@@ -59,9 +59,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .bvh import build_bvh, triangle_aabbs
-from .intersect import BIG, triangle_frames, project_shadow
-from .traverse_mxleaf import _project_leaf, _prod_sublanes
-from .traverse_packet import _interpret, _frames_jnp
+from .intersect import BIG, DET_EPS, triangle_frames, project_shadow
 
 BLOCK = 1024            # rays per grid program (all on lanes)
 CLUSTER_T = 128         # triangles per cluster (one lane tile per part)
@@ -77,6 +75,60 @@ B_MIN = 0               # rows 0..2: cluster AABB min xyz
 B_MAX = 3               # rows 3..5: cluster AABB max xyz
 B_BASE = 6              # row 6: first triangle (reordered index)
 B_CNT = 7               # row 7: triangle count (0 = padding lane)
+
+
+def _interpret() -> bool:
+    """Mosaic needs real TPU hardware; interpret everywhere else (tests run
+    on a virtual CPU mesh). The tunneled chip reports platform 'axon'."""
+    return jax.default_backend() not in ("tpu", "axon")
+
+
+def _frames_jnp(v0, e1, e2):
+    """Traceable (differentiable) twin of ops.intersect.triangle_frames —
+    used by the shadow custom_vjp replay paths."""
+    n = jnp.cross(e1, e2)
+    b = jnp.stack([e1, e2, n], axis=-1)                 # [F,3,3] columns
+    det = jnp.linalg.det(b)
+    ok = jnp.abs(det) > 1e-30
+    b_safe = jnp.where(ok[:, None, None], b, jnp.eye(3, dtype=b.dtype))
+    m = jnp.linalg.inv(b_safe)                          # rows: b1, b2, z
+    c = -jnp.einsum("fij,fj->fi", m, v0)
+    m = jnp.where(ok[:, None, None], m, 0.0)
+    c = jnp.where(ok[:, None], c, jnp.asarray([-1.0, -1.0, 1.0]))
+    w = jnp.concatenate([m[:, 0, :], m[:, 1, :], m[:, 2, :]], axis=0).T
+    cc = jnp.concatenate([c[:, 0], c[:, 1], c[:, 2]], axis=0)
+    return w, cc
+
+
+def _project_leaf(lw, o4, d4, near, limit):
+    """(t, valid) of <=CLUSTER_T cluster triangles against the block:
+    [CLUSTER_T, BLOCK] tiles from two MXU matmuls + fused elementwise."""
+    ct = CLUSTER_T
+    dims = (((0,), (0,)), ((), ()))
+    ol = jax.lax.dot_general(lw, o4, dims,
+                             preferred_element_type=jnp.float32)
+    dl = jax.lax.dot_general(lw, d4, dims,
+                             preferred_element_type=jnp.float32)
+    olx, oly, olz = ol[0:ct], ol[ct:2 * ct], ol[2 * ct:]
+    dlx, dly, dlz = dl[0:ct], dl[ct:2 * ct], dl[2 * ct:]
+    dlz = dlz + jnp.where(jnp.abs(dlz) < DET_EPS, DET_EPS, 0.0)
+    t = -olz / dlz
+    b1 = olx + t * dlx
+    b2 = oly + t * dly
+    valid = ((b1 >= 0.0) & (b1 <= 1.0) & (b2 >= 0.0) & (b1 + b2 <= 1.0)
+             & (t > near) & (t < limit))
+    return t, valid
+
+
+def _prod_sublanes(x):
+    """Product over the sublane axis of [CLUSTER_T, BLOCK] by halving
+    (static steps); Mosaic has no native multiply-reduce."""
+    n = x.shape[0]
+    while n > 1:
+        h = n // 2
+        x = x[:h] * x[h:n]
+        n = h
+    return x                                            # [1, BLOCK]
 
 
 # ---------------------------------------------------------------------------

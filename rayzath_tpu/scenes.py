@@ -229,7 +229,7 @@ def mesh_heavy(width: int = 512, height: int = 512,
     """One big displaced mesh (~2*resolution^2 triangles; 131k at the default)
     on a ground plane. Nothing here fits a VMEM-resident packet table — this
     is the honest BVH-scaling benchmark: traversal must stream the segmented
-    BLAS from HBM (ops/traverse_tlas.py)."""
+    cluster frames from HBM (ops/traverse_cluster.py)."""
     w = World()
     ground = w.generate_material("paper")
     body = w.create_material("body", color=(0.7, 0.55, 0.4, 1.0),

@@ -108,3 +108,23 @@ class Transform:
         t = Transform(self.position, self.rotation, self.scale)
         t.rot = self.rot.copy()
         return t
+
+
+def transform_matrices(tr) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(A_fwd[3,4], A_inv[3,4], N[3,3]) for a hostmath Transform:
+    world = A_fwd[:, :3] @ obj + A_fwd[:, 3]; obj = A_inv[:, :3] @ world
+    + A_inv[:, 3]; world normal ∝ N @ obj normal (reference normals_l2g
+    semantics: divide by scale then rotate, render_parts.cpp:110-114)."""
+    rot = np.asarray(tr.rot, np.float64)
+    scale = np.asarray(tr.scale, np.float64)
+    pos = np.asarray(tr.position, np.float64)
+    s_safe = np.where(np.abs(scale) < 1e-20, 1e-20, scale)
+    a_fwd = rot * scale[None, :]                    # rot @ diag(scale)
+    a_inv_lin = (1.0 / s_safe)[:, None] * rot.T     # diag(1/s) @ rot.T
+    b_inv = -a_inv_lin @ pos
+    n_mat = rot * (np.sign(s_safe) / np.maximum(np.abs(s_safe), 1e-20))[None, :]
+    fwd = np.concatenate([a_fwd, pos[:, None]], axis=1)
+    inv = np.concatenate([a_inv_lin, b_inv[:, None]], axis=1)
+    return (fwd.astype(np.float32), inv.astype(np.float32),
+            n_mat.astype(np.float32))
+

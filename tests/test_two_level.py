@@ -161,7 +161,7 @@ def test_inst_shadow_gradient_matches_dense_replay(instanced):
 
     def loss_dense(mat_color):
         from rayzath_tpu.ops.intersect import project_shadow
-        from rayzath_tpu.ops.traverse_packet import _frames_jnp
+        from rayzath_tpu.ops.traverse_cluster import _frames_jnp
         exp_tri, exp_inst, inst_fwd = tl.exp_tri, tl.exp_inst, tl.inst_fwd
         a4 = inst_fwd[exp_inst].reshape(-1, 3, 4)
         v0 = jnp.einsum("kij,kj->ki", a4[:, :, :3],

@@ -100,31 +100,24 @@ def scene_tables(name):
     return compile_world(world)
 
 
-def bench_mxleaf(name="mesh_heavy"):
-    from rayzath_tpu.ops.traverse_mxleaf import (build_mxleaf_tables,
-                                                 mx_closest)
+def bench_cluster(name="mesh_heavy"):
+    from rayzath_tpu.ops.traverse_cluster import (build_cluster_tables,
+                                                  cluster_closest)
     scene = scene_tables(name)
     v0 = np.asarray(scene.tri_v0)
     e1 = np.asarray(scene.tri_e1)
     e2 = np.asarray(scene.tri_e2)
-    tab, lw, order, lb, lc = build_mxleaf_tables(v0, e1, e2)
+    box, lw, order, base, count = build_cluster_tables(v0, e1, e2)
     key = jax.random.key(2)
     o, d = rand_rays(key)
     near = jnp.zeros(R)
     far = jnp.full(R, 1e30)
-    tab, lw, order = jnp.asarray(tab), jnp.asarray(lw), jnp.asarray(order)
-    fn = jax.jit(lambda o, d, n, f: mx_closest(o, d, n, f, tab, lw, order))
+    box, lw, order = jnp.asarray(box), jnp.asarray(lw), jnp.asarray(order)
+    fn = jax.jit(lambda o, d, n, f: cluster_closest(o, d, n, f, box, lw,
+                                                    order))
     s = timeit(fn, o, d, near, far, n=10)
-    emit(f"mx_closest_{name}_incoherent", s, tris=int(v0.shape[0]),
-         nodes=int(tab.shape[0]), leaves=int(lw.shape[0]),
-         mrays_per_s=round(R / s / 1e6, 2))
-
-    # coherent: sorted rays
-    from rayzath_tpu.ops.sort_rays import sort_perm
-    perm, _ = jax.jit(sort_perm)(o, d)
-    o2, d2 = o[perm], d[perm]
-    s = timeit(fn, o2, d2, near, far, n=10)
-    emit(f"mx_closest_{name}_sorted", s, mrays_per_s=round(R / s / 1e6, 2))
+    emit(f"cluster_closest_{name}_incoherent", s, tris=int(v0.shape[0]),
+         clusters=int(lw.shape[0]), mrays_per_s=round(R / s / 1e6, 2))
 
 
 def bench_bounce(name):
@@ -151,7 +144,7 @@ def bench_bounce(name):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--stages", default="dense,sort,mxleaf,bounce")
+    ap.add_argument("--stages", default="dense,sort,cluster,bounce")
     ap.add_argument("--scene", default="teapot_like")
     args = ap.parse_args()
     stages = args.stages.split(",")
@@ -160,8 +153,8 @@ def main():
         bench_dense()
     if "sort" in stages:
         bench_sort()
-    if "mxleaf" in stages:
-        bench_mxleaf()
+    if "cluster" in stages:
+        bench_cluster()
     if "bounce" in stages:
         bench_bounce(args.scene)
 
