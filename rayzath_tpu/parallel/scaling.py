@@ -8,6 +8,12 @@ to linear scaling from the 1-device run. On a real pod slice this measures ICI
 scaling; under ``--xla_force_host_platform_device_count`` it validates the
 harness and the sharded program (virtual CPU devices share the same cores, so
 efficiency numbers there are not meaningful).
+
+Cross-HOST (DCN) scaling is measured by parallel/distributed.py: run
+``python -m rayzath_tpu.parallel.distributed --bench`` on every host of the
+slice (its module docstring documents the recipe); the multi-process code
+path itself is CI-tested by tests/test_multihost.py with two real OS
+processes on CPU.
 """
 from __future__ import annotations
 
