@@ -17,6 +17,14 @@ thread renders progressively through the normal :class:`Renderer` while an
                          (reference rayCast, cuda_render_kernel.cu:130-144)
 * ``POST /focus``      — double-click: autofocus via Renderer.focus
                          (reference Camera::focus, camera.cpp:80-88)
+* ``GET /tree``        — scene explorer: every container's objects
+                         (reference Application/explorer.cpp:1-815)
+* ``GET /props``       — editable properties of one object
+* ``POST /edit``       — set one property; the Versioned content-version
+                         bump restarts progressive accumulation live
+                         (reference Application/properties.cpp:1-908)
+* ``POST /save``       — save the scene JSON + maps (save modal,
+                         Application/save_modals.cpp)
 
 Camera edits bump the camera version, so the renderer's temporal
 reprojection (ops/reproject.py) carries the accumulated image across moves —
@@ -50,8 +58,18 @@ body { background:#111; color:#ccc; font:13px monospace; margin:16px }
 </style></head><body>
 <div>drag: orbit &nbsp; shift+drag: pan &nbsp; wheel: zoom &nbsp;
 click: pick &nbsp; double-click: focus</div>
+<div style="display:flex; gap:16px; align-items:flex-start">
+<div>
 <img id="frame" width="WIDTH" height="HEIGHT"/>
 <div id="hud">connecting...</div>
+</div>
+<div id="panel" style="min-width:320px">
+<div><button onclick="loadTree()">refresh scene</button>
+<button onclick="saveScene()">save scene</button></div>
+<div id="tree" style="margin-top:8px"></div>
+<div id="props" style="margin-top:8px; border-top:1px solid #333"></div>
+</div>
+</div>
 <script>
 const img = document.getElementById('frame');
 const hud = document.getElementById('hud');
@@ -92,6 +110,58 @@ img.addEventListener('dblclick', e => {
                   y: Math.floor((e.clientY - r.top) * img.naturalHeight / r.height)});
 });
 img.addEventListener('wheel', e => { e.preventDefault(); post('/zoom', {d: e.deltaY}); });
+
+async function loadTree() {
+  const t = await (await fetch('/tree')).json();
+  const div = document.getElementById('tree');
+  div.innerHTML = '';
+  for (const [type, items] of Object.entries(t)) {
+    if (!items.length) continue;
+    const h = document.createElement('div');
+    h.textContent = type + ' (' + items.length + ')';
+    h.style.color = '#8ac';
+    div.appendChild(h);
+    for (const it of items) {
+      const a = document.createElement('div');
+      a.textContent = '  ' + it.name + (it.info ? '  [' + it.info + ']' : '');
+      if (it.editable) {
+        a.style.cursor = 'pointer';
+        a.onclick = () => loadProps(type, it.idx);
+      } else { a.style.color = '#666'; }
+      div.appendChild(a);
+    }
+  }
+}
+async function loadProps(type, idx) {
+  const p = await (await fetch('/props?type=' + type + '&idx=' + idx)).json();
+  const div = document.getElementById('props');
+  div.innerHTML = '<b>' + p.name + '</b> (' + type + ')<br/>';
+  for (const f of p.fields) {
+    const row = document.createElement('div');
+    const label = document.createElement('span');
+    label.textContent = f.attr + ': ';
+    row.appendChild(label);
+    const vals = Array.isArray(f.value) ? f.value : [f.value];
+    const inputs = [];
+    for (const v of vals) {
+      const inp = document.createElement('input');
+      inp.size = 6; inp.value = (typeof v === 'number') ? +v.toFixed(4) : v;
+      inp.onchange = () => {
+        const nv = inputs.map(i => parseFloat(i.value));
+        post('/edit', {type: type, idx: idx, attr: f.attr,
+                       value: Array.isArray(f.value) ? nv : nv[0]});
+      };
+      inputs.push(inp); row.appendChild(inp);
+    }
+    div.appendChild(row);
+  }
+}
+async function saveScene() {
+  const path = prompt('save scene to path:', 'scene_out.json');
+  if (path) { const r = await post('/save', {path: path});
+              alert(JSON.stringify(r)); }
+}
+loadTree();
 </script></body></html>"""
 
 
@@ -213,6 +283,26 @@ class Viewer:
                 elif path == "/stats":
                     self._send(200, json.dumps(viewer.stats()).encode(),
                                "application/json")
+                elif path == "/tree":
+                    from . import editor
+                    with viewer.lock:
+                        tree = editor.scene_tree(viewer.world)
+                    self._send(200, json.dumps(tree).encode(),
+                               "application/json")
+                elif path == "/props":
+                    from . import editor
+                    q = {k: v[0] for k, v in
+                         parse_qs(urlparse(self.path).query).items()}
+                    try:
+                        with viewer.lock:
+                            props = editor.get_props(viewer.world,
+                                                     q.get("type", ""),
+                                                     int(q.get("idx", 0)))
+                        self._send(200, json.dumps(props).encode(),
+                                   "application/json")
+                    except (KeyError, IndexError) as e:
+                        self._send(404, json.dumps(
+                            {"error": str(e)}).encode(), "application/json")
                 else:
                     self._send(404, b"not found", "text/plain")
 
@@ -237,6 +327,29 @@ class Viewer:
                     out = viewer.pick(int(body.get("x", 0)), int(body.get("y", 0)))
                 elif path == "/focus":
                     out = viewer.focus(int(body.get("x", 0)), int(body.get("y", 0)))
+                elif path == "/edit":
+                    from . import editor
+                    try:
+                        with viewer.lock:
+                            out = editor.set_prop(
+                                viewer.world, body.get("type", ""),
+                                int(body.get("idx", 0)),
+                                body.get("attr", ""), body.get("value"))
+                    except (KeyError, IndexError, AssertionError,
+                            ValueError) as e:
+                        self._send(400, json.dumps(
+                            {"error": str(e)}).encode(), "application/json")
+                        return
+                elif path == "/save":
+                    from . import editor
+                    try:
+                        with viewer.lock:
+                            out = editor.save_scene(
+                                viewer.world, body.get("path", "scene_out.json"))
+                    except OSError as e:
+                        self._send(400, json.dumps(
+                            {"error": str(e)}).encode(), "application/json")
+                        return
                 else:
                     self._send(404, b"not found", "text/plain")
                     return
