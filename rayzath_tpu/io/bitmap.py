@@ -28,7 +28,7 @@ def load_image(path: str, flip_v: bool = False) -> np.ndarray:
 def load_hdr(path: str) -> np.ndarray:
     """Load a high-dynamic-range image as float32 RGB [H,W,3] (linear).
 
-    Supports Radiance ``.hdr`` (RGBE, new-RLE and flat scanlines; pure NumPy —
+    Supports Radiance ``.hdr`` (RGBE: new-RLE, old-RLE and flat scanlines; pure NumPy —
     the stb_image HDR path of the reference, loader.cpp:103-138, without the
     C dependency) and float ``.npy`` arrays ([H,W,3] or [H,W]). ``.exr``
     needs OpenEXR, which is not available in this environment."""
@@ -78,13 +78,52 @@ def load_hdr(path: str) -> np.ndarray:
                         p += n
                         x += n
         else:                                        # flat RGBE scanline
-            row = data[p:p + width * 4].reshape(width, 4)
+            chunk = data[p:p + width * 4]
+            # old-style RLE marks runs with (1,1,1,count) pixels; they break
+            # the fixed-width framing, so hand the rest of the image to the
+            # stateful pixel decoder the moment one appears (or the stream
+            # is already too short for flat rows — compressed)
+            if len(chunk) < width * 4:
+                _decode_old_rle(data, p, rgbe, y, height, width)
+                break
+            row = chunk.reshape(width, 4)
+            marker = (row[:, 0] == 1) & (row[:, 1] == 1) & (row[:, 2] == 1)
+            if marker.any():
+                _decode_old_rle(data, p, rgbe, y, height, width)
+                break
             rgbe[y] = row
             p += width * 4
     e = rgbe[..., 3].astype(np.int32)
     scale = np.where(e == 0, 0.0,
                      np.ldexp(np.float32(1.0), e - (128 + 8))).astype(np.float32)
     return rgbe[..., :3].astype(np.float32) * scale[..., None]
+
+
+def _decode_old_rle(data: np.ndarray, p: int, rgbe: np.ndarray, y0: int,
+                    height: int, width: int) -> None:
+    """Old-style Radiance RLE: a (1,1,1,count) pixel repeats the previous
+    pixel; consecutive markers shift the count left 8 bits each (the
+    encoding stb_image calls "old RLE"; previously misparsed as flat RGBE,
+    advisor finding). Decodes rows [y0, height) in place."""
+    prev = np.zeros(4, np.uint8)
+    shift = 0
+    for y in range(y0, height):
+        x = 0
+        while x < width:
+            if p + 4 > len(data):
+                raise RuntimeError("truncated old-RLE .hdr stream")
+            px = data[p:p + 4]
+            p += 4
+            if px[0] == 1 and px[1] == 1 and px[2] == 1:
+                n = min(int(px[3]) << shift, width - x)
+                rgbe[y, x:x + n] = prev
+                x += n
+                shift += 8
+            else:
+                rgbe[y, x] = px
+                prev = px
+                x += 1
+                shift = 0
 
 
 def hdr_to_texture_emission(rgb: np.ndarray):

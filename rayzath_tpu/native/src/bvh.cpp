@@ -74,6 +74,53 @@ struct Builder {
             return;
         }
 
+        // too-large-object partition (reference Size partition type,
+        // bvh_tree_node.hpp:127-148): primitives spanning the node box in
+        // every axis get their own child. Axes the node is flat in count as
+        // satisfied (see the NumPy builder for the rationale); the
+        // stable-partition order matches NumPy's boolean-mask selection.
+        {
+            float node_sz[3];
+            float max_sz = 0.f;
+            for (int a = 0; a < 3; ++a) {
+                node_sz[a] = bmax[a] - bmin[a];
+                max_sz = std::max(max_sz, node_sz[a]);
+            }
+            const float eps = 1e-12f + 1e-6f * max_sz;
+            auto is_small = [&](int32_t p) {
+                const float* pmin = prim_min + 3 * p;
+                const float* pmax = prim_max + 3 * p;
+                for (int a = 0; a < 3; ++a) {
+                    const float psz = pmax[a] - pmin[a];
+                    if (!(psz < node_sz[a] || node_sz[a] <= eps)) return false;
+                }
+                return true;
+            };
+            int n_small = 0;
+            for (int i = 0; i < count; ++i) n_small += is_small(idx[i]);
+            if (n_small == 0) {  // only too-large primitives: leaf
+                emit_leaf(node_id, idx, count);
+                return;
+            }
+            if (n_small < count) {
+                std::vector<int32_t> tmp(idx, idx + count);
+                int w = 0;
+                for (int i = 0; i < count; ++i)
+                    if (is_small(tmp[i])) idx[w++] = tmp[i];
+                for (int i = 0; i < count; ++i)
+                    if (!is_small(tmp[i])) idx[w++] = tmp[i];
+                const int left_id = alloc_node();
+                const int right_id = alloc_node();
+                (void)right_id;
+                node_begin[node_id] = left_id;
+                node_count[node_id] = 0;
+                node_axis[node_id] = 0;
+                build(left_id, idx, n_small, depth + 1);
+                build(right_id, idx + n_small, count - n_small, depth + 1);
+                return;
+            }
+        }
+
         // centroid mean + variance per axis (double accumulation)
         double sum[3] = {0, 0, 0}, sum2[3] = {0, 0, 0};
         for (int i = 0; i < count; ++i) {

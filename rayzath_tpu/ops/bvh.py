@@ -103,6 +103,36 @@ def build_bvh_numpy(prim_min: np.ndarray, prim_max: np.ndarray,
         if len(idx) <= leaf_size or depth >= max_depth:
             emit_leaf(node_id, idx)
             return
+
+        # too-large-object partition (reference Size partition type,
+        # bvh_tree_node.hpp:127-148 / component_container.hpp:272-295):
+        # primitives spanning the node box in every axis are separated into
+        # their own child so they stop inflating every split's AABB.
+        # Deviation: an axis the node is flat in (node size ~ 0) counts as
+        # satisfied — the reference's strict compare would otherwise declare
+        # every triangle of a flat coplanar patch "too large" and emit one
+        # giant leaf.
+        node_sz = node_max[node_id] - node_min[node_id]
+        eps = 1e-12 + 1e-6 * float(node_sz.max())
+        psize = prim_max[idx] - prim_min[idx]
+        small = ((psize < node_sz[None, :])
+                 | (node_sz[None, :] <= eps)).all(axis=1)
+        n_small = int(small.sum())
+        if n_small == 0:
+            # only too-large primitives: sub-partition is ineffective
+            emit_leaf(node_id, idx)
+            return
+        if n_small < len(idx):
+            left_id = alloc_node()
+            right_id = alloc_node()
+            assert right_id == left_id + 1
+            node_begin[node_id] = left_id
+            node_count[node_id] = 0
+            node_axis[node_id] = 0
+            build(left_id, idx[small], depth + 1)
+            build(right_id, idx[~small], depth + 1)
+            return
+
         c = centroids[idx]
         var = c.var(axis=0)
         axis = int(np.argmax(var))

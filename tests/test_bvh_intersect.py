@@ -147,3 +147,42 @@ def test_cube_inside_outside():
     assert np.asarray(tid)[0] >= 0
     assert np.isclose(np.asarray(t)[0], 0.5, atol=1e-5)
     assert not bool(np.asarray(ext)[0])
+
+
+def test_size_partition_separates_oversized_primitives():
+    """Too-large-object partition (reference bvh_tree_node.hpp:127-148):
+    a huge ground plane mixed into a dense ball must land in its own leaf
+    instead of inflating every leaf AABB it gets grouped into."""
+    import numpy as np
+    from rayzath_tpu.ops.bvh import build_bvh, triangle_aabbs
+
+    rng = np.random.default_rng(5)
+    # dense ball of small triangles around the origin
+    n = 600
+    c = rng.normal(size=(n, 3)).astype(np.float32)
+    c /= np.linalg.norm(c, axis=1, keepdims=True)
+    v0 = c
+    e1 = rng.uniform(-0.02, 0.02, (n, 3)).astype(np.float32)
+    e2 = rng.uniform(-0.02, 0.02, (n, 3)).astype(np.float32)
+    # two huge ground-plane triangles spanning 100x the ball
+    pv0 = np.array([[-100, -1.2, -100], [100, -1.2, 100]], np.float32)
+    pe1 = np.array([[200, 0, 0], [-200, 0, 0]], np.float32)
+    pe2 = np.array([[0, 0, 200], [0, 0, -200]], np.float32)
+    v0 = np.concatenate([v0, pv0])
+    e1 = np.concatenate([e1, pe1])
+    e2 = np.concatenate([e2, pe2])
+    pmin, pmax = triangle_aabbs(v0, v0 + e1, v0 + e2)
+    bvh = build_bvh(pmin, pmax, leaf_size=8)
+
+    leaf = bvh.node_count > 0
+    plane_ids = {n, n + 1}
+    for nid in np.nonzero(leaf)[0]:
+        b, cnt = bvh.node_begin[nid], bvh.node_count[nid]
+        prims = set(bvh.order[b:b + cnt].tolist())
+        if prims & plane_ids:
+            # the plane triangles share a leaf only with each other
+            assert prims <= plane_ids, f"plane mixed into leaf {prims}"
+        else:
+            # ball leaves keep tight boxes (nowhere near plane scale)
+            ext = bvh.node_max[nid] - bvh.node_min[nid]
+            assert float(ext.max()) < 3.0

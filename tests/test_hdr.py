@@ -111,3 +111,38 @@ def test_hdr_environment_lights_scene(tmp_path):
     img = np.asarray(st.accum[..., :3])
     assert np.isfinite(img).all()
     assert img.max() > 0.05, "HDR environment contributed no light"
+
+
+def test_old_rle_hdr_decodes(tmp_path):
+    """Old-style RLE (repeat marker (1,1,1,count)) must decode, not be
+    misparsed as flat RGBE (advisor finding)."""
+    import numpy as np
+    from rayzath_tpu.io.bitmap import load_hdr
+
+    h, w = 4, 16
+    # reference image: row pattern with long constant runs
+    rgbe = np.zeros((h, w, 4), np.uint8)
+    rgbe[..., 0] = 64
+    rgbe[..., 1] = 32
+    rgbe[..., 2] = 16
+    rgbe[..., 3] = 128  # exponent 0 -> scale 2^-8
+    rgbe[1, :, 0] = 200  # distinct second row
+
+    # encode with old RLE: first pixel literal, then one run marker
+    out = bytearray()
+    out += b"#?RADIANCE\nFORMAT=32-bit_rle_rgbe\n\n"
+    out += f"-Y {h} +X {w}\n".encode()
+    for y in range(h):
+        px = rgbe[y, 0]
+        out += bytes(px)                       # literal first pixel
+        out += bytes([1, 1, 1, w - 1])         # repeat it w-1 times
+    (tmp_path / "old.hdr").write_bytes(bytes(out))
+
+    img = load_hdr(str(tmp_path / "old.hdr"))
+    assert img.shape == (h, w, 3)
+    # every pixel of a row equals its first pixel (run repeated)
+    assert np.all(img == img[:, :1, :])
+    # rows differ where the source differs
+    assert img[1, 0, 0] != img[0, 0, 0]
+    # value check: mantissa/256 * 2^(e-128) semantics
+    assert np.isclose(img[0, 0, 0], (64 / 256) * 2.0 ** (128 - 128), rtol=1e-6)
