@@ -28,10 +28,12 @@ class RenderConfig:
     light_sampling: LightSampling = LightSampling()
     # TPU-specific knobs (not in reference):
     # Scenes with <= this many triangles take the dense XLA projection test
-    # (one fused chunk, no tables). Above it, the Pallas cluster traversal
-    # (ops/traverse_cluster.py) culls per 1024-ray block and intersects only
-    # visited ~128-triangle clusters, with intermediates kept in VMEM.
-    brute_force_threshold: int = 128
+    # (one fused chunk, no tables). Default 0: the Pallas cluster traversal
+    # (ops/traverse_cluster.py) handles every size — measured on-chip it is
+    # within ~11% of the dense path even on the 36-triangle Cornell
+    # (124 vs 139 Mrays/s) while compiling in ~20 s instead of ~11 MINUTES
+    # (the dense path's [R,F] program triggers pathological XLA compiles).
+    brute_force_threshold: int = 0
     bvh_leaf_size: int = 8
     chunk: int = 512                   # brute-force triangle tile size
     # Use the Pallas cluster kernels. False falls back to the pure-XLA
@@ -43,14 +45,14 @@ class RenderConfig:
     # would duplicate geometry substantially; world-space soup otherwise).
     # True/False forces the choice.
     two_level: Optional[bool] = None
-    # Sort rays by a spatial-directional coherence key before traversal
-    # (ops/sort_rays.py). OFF by default: a 512^2 argsort costs ~2.7 ms on
-    # chip — more than an entire bounce's budget at the north-star rate —
-    # while reshape-only 32x32 image tiling (integrator._tile) recovers most
-    # primary-ray coherence for free and bounce rays stay origin-coherent in
-    # pixel order. Turn on only for workloads dominated by incoherent
-    # secondary traversal where 2.7 ms/call amortizes.
-    ray_sort: bool = False
+    # Sort rays by the Morton-major spatial-directional coherence key
+    # before traversal (ops/sort_rays.py). None = auto: sorting costs a
+    # fixed ~2.7 ms per call (XLA argsort at 512^2), so it is enabled only
+    # for scenes whose candidate table is large enough that incoherent
+    # bounce blocks would otherwise enumerate hundreds of clusters
+    # (>= 192 candidates; see tools/visitstats.py measurements). Small
+    # scenes rely on reshape-only 32x32 image tiling instead.
+    ray_sort: Optional[bool] = None
 
     def with_(self, **kw) -> "RenderConfig":
         return replace(self, **kw)

@@ -70,18 +70,32 @@ class MatProps(NamedTuple):
     normal_map: jnp.ndarray  # [R] i32 map id (-1 none)
 
 
-def material_fetch(scene: DeviceScene, mat_id, texcrd) -> MatProps:
+def mat_pack(scene: DeviceScene) -> jnp.ndarray:
+    """[M,14] packed material rows, built in-jit from the editable/trainable
+    SoA leaves (gradients and live edits flow through the concat): color 0:4,
+    metalness 4, roughness 5, emission 6, ior 7, scattering 8, maps 9:14.
+    One [R]-row gather of this table replaces seven separate gathers
+    (measured ~3.4 ms each at 512^2 — the dominant bounce_step cost)."""
+    return jnp.concatenate([
+        scene.mat_color,
+        scene.mat_metalness[:, None], scene.mat_roughness[:, None],
+        scene.mat_emission[:, None], scene.mat_ior[:, None],
+        scene.mat_scattering[:, None],
+        scene.mat_maps.astype(jnp.float32)], axis=1)
+
+
+def material_fetch(scene: DeviceScene, mp, mat_id, texcrd) -> MatProps:
     """Fetch material properties at a surface point (reference
     Material::color/emission/metalness/roughness with maps,
-    cuda_material.cuh:70-123)."""
+    cuda_material.cuh:70-123). ``mp`` is the scene's mat_pack table."""
     mid = jnp.clip(mat_id, 0, scene.n_materials - 1)
-    base = gather_rows(scene.mat_color, mid)
-    rgb = base[:, :3]
-    alpha_op = 1.0 - base[:, 3]
-    metal = gather_rows(scene.mat_metalness, mid)
-    rough = gather_rows(scene.mat_roughness, mid)
-    emis = gather_rows(scene.mat_emission, mid)
-    maps = gather_rows(scene.mat_maps, mid)
+    row = gather_rows(mp, mid)
+    rgb = row[:, 0:3]
+    alpha_op = 1.0 - row[:, 3]
+    metal = row[:, 4]
+    rough = row[:, 5]
+    emis = row[:, 6]
+    maps = jnp.rint(row[:, 9:14]).astype(jnp.int32)
     if scene.has_maps:
         tex_id, nrm_id, met_id, rgh_id, emi_id = (maps[:, k] for k in range(5))
         tex = tex_ops.fetch_scene(scene, tex_id, texcrd)
@@ -98,8 +112,7 @@ def material_fetch(scene: DeviceScene, mat_id, texcrd) -> MatProps:
     else:
         normal_map = jnp.full_like(mid, NO_MAP)
     return MatProps(rgb, alpha_op, metal, rough, emis,
-                    gather_rows(scene.mat_ior, mid),
-                    gather_rows(scene.mat_scattering, mid), normal_map)
+                    row[:, 7], row[:, 8], normal_map)
 
 
 # ---------------------------------------------------------------------------
@@ -138,15 +151,27 @@ def _untile(x, hw):
         (h * w,) + rest)
 
 
-def _run_coherent(cfg: RenderConfig, hw, o, d, extras, run):
-    """Run a packet/TLAS traversal on a coherence-maximized ray order.
+def _sort_traversal(cfg: RenderConfig, scene: DeviceScene) -> bool:
+    """Effective ray-sort decision. None = auto: sorting costs a fixed
+    ~2.7 ms per call (XLA argsort at 512^2), which only amortizes when the
+    candidate table is large enough that incoherent bounce blocks would
+    otherwise enumerate hundreds of clusters (tools/visitstats.py)."""
+    if cfg.ray_sort is not None:
+        return cfg.ray_sort
+    n_cand = (scene.cu_rows.shape[0] if scene.two_level
+              else (scene.cl_lw.shape[0] if scene.cl_lw is not None else 0))
+    return n_cand >= 192
 
-    ``run(o, d, *extras) -> tuple of per-ray arrays``. Preferred: sort rays by
-    the spatial-directional key (ops/sort_rays.py) and scatter results back —
-    this keeps the shared block walks tight even for incoherent bounce
-    wavefronts. Fallback (``cfg.ray_sort=False``): 32x32 image tiling, which
-    only helps the primary-dominated passes."""
-    if cfg.ray_sort:
+
+def _run_coherent(cfg: RenderConfig, hw, o, d, extras, run, sort=False):
+    """Run a cluster traversal on a coherence-maximized ray order.
+
+    ``run(o, d, *extras) -> tuple of per-ray arrays``. With ``sort``: order
+    rays by the Morton-major spatial-directional key (ops/sort_rays.py) and
+    scatter results back — this keeps the per-block candidate sets tight
+    even for incoherent bounce wavefronts. Otherwise: 32x32 image tiling,
+    which helps the primary-dominated passes for free."""
+    if sort:
         perm, inv = sort_perm(jax.lax.stop_gradient(o),
                               jax.lax.stop_gradient(d))
         outs = run(o[perm], d[perm], *[e[perm] for e in extras])
@@ -179,61 +204,65 @@ def _apply_nrm(nrm_rows, v):
         a[:, 6] * v[:, 0] + a[:, 7] * v[:, 1] + a[:, 8] * v[:, 2]], axis=1)
 
 
-def world_tri(scene: DeviceScene, tri, inst):
-    """World-space (v0, e1, e2) of the hit triangles in two-level mode:
-    object geometry gathered by triangle id, transformed by the instance's
-    object->world matrix (reference Instance closestIntersection transforms
-    the ray instead, cuda_instance.cuh:186-229 — same hit, world shading)."""
-    fwd = gather_rows(scene.inst_fwd, inst)
-    v0 = _apply_fwd(fwd, gather_rows(scene.tri_v0, tri), True)
-    e1 = _apply_fwd(fwd, gather_rows(scene.tri_e1, tri), False)
-    e2 = _apply_fwd(fwd, gather_rows(scene.tri_e2, tri), False)
-    return v0, e1, e2
-
-
 def closest_hit(scene: DeviceScene, cfg: RenderConfig, o, d, near, far,
                 hw=None):
-    """Returns (t, tri_id, inst_id, b1, b2, external); ids are stop-gradient,
-    (t,b1,b2) re-derived differentiably (path-replay). ``inst_id`` is None on
-    the soup path (instance resolved via tri_inst there)."""
+    """Returns (t, tri_id, inst_id, b1, b2, external, tp); ids are
+    stop-gradient, (t,b1,b2) re-derived differentiably (path-replay).
+    ``inst_id`` is None on the soup path (instance resolved via tri_inst).
+    ``tp`` is the hit's packed attribute row ([R,32], see
+    DeviceScene.tri_pack; WORLD-space geometry in both modes) — gathered
+    once here so callers never re-gather per-attribute."""
     if scene.two_level:
         t, tid, inst = _run_coherent(
             cfg, hw, o, d, (near, far),
             lambda o, d, near, far: cluster_closest_inst(
-                o, d, near, far, scene.cu_box, scene.cu_rows, scene.cl_lw))
-        v0, e1, e2 = world_tri(scene, jnp.maximum(tid, 0),
-                               jnp.maximum(inst, 0))
-        t_r, b1_r, b2_r, det = refine_tri(o, d, v0, e1, e2)
-        ext = jax.lax.stop_gradient(det > 0.0)
-        hit_mask = tid >= 0
-        t = jnp.where(hit_mask, t_r, jax.lax.stop_gradient(t))
-        b1 = jnp.where(hit_mask, b1_r, 0.0)
-        b2 = jnp.where(hit_mask, b2_r, 0.0)
-        return t, tid, inst, b1, b2, ext
-
-    if scene.n_triangles <= cfg.brute_force_threshold or scene.cl_box is None:
-        t, tid = project_closest(o, d, near, far, scene.tri_pw, scene.tri_pc,
-                                 chunk=min(cfg.chunk, scene.tri_v0.shape[0]))
-    elif cfg.packet_traversal:
-        t, tid = _run_coherent(
-            cfg, hw, o, d, (near, far),
-            lambda o, d, near, far: cluster_closest(
-                o, d, near, far, scene.cl_box, scene.cl_lw, scene.cl_order))
+                o, d, near, far, scene.cu_box, scene.cu_rows, scene.cl_lw),
+            sort=_sort_traversal(cfg, scene))
+        tp = gather_rows(scene.tri_pack, jnp.maximum(tid, 0))
+        # object -> world (reference Instance transforms the ray instead,
+        # cuda_instance.cuh:186-229 — same hit, world shading); normals by
+        # the inverse-transpose rows
+        fwd = gather_rows(scene.inst_fwd, jnp.maximum(inst, 0))
+        nrm = gather_rows(scene.inst_nrm, jnp.maximum(inst, 0))
+        parts = [_apply_fwd(fwd, tp[:, 0:3], True),
+                 _apply_fwd(fwd, tp[:, 3:6], False),
+                 _apply_fwd(fwd, tp[:, 6:9], False)]
+        for base in (9, 12, 15):
+            n_w = _apply_nrm(nrm, tp[:, base:base + 3])
+            parts.append(n_w / jnp.maximum(
+                jnp.linalg.norm(n_w, axis=1, keepdims=True), 1e-20))
+        tp = jnp.concatenate(parts + [tp[:, 18:]], axis=1)
     else:
-        hit = bvh_closest(o, d, near, far,
-                          scene.aabb_links, scene.node_begin, scene.node_count,
-                          scene.tri_v0, scene.tri_e1, scene.tri_e2,
-                          leaf_size=cfg.bvh_leaf_size)
-        t, tid = hit.t, hit.tri_id
-    tid = jax.lax.stop_gradient(tid)
-    t_r, b1_r, b2_r, det = refine_hit(o, d, tid, scene.tri_v0, scene.tri_e1,
-                                      scene.tri_e2)
+        if (scene.n_triangles <= cfg.brute_force_threshold
+                or scene.cl_box is None):
+            t, tid = project_closest(o, d, near, far, scene.tri_pw,
+                                     scene.tri_pc,
+                                     chunk=min(cfg.chunk,
+                                               scene.tri_v0.shape[0]))
+        elif cfg.packet_traversal:
+            t, tid = _run_coherent(
+                cfg, hw, o, d, (near, far),
+                lambda o, d, near, far: cluster_closest(
+                    o, d, near, far, scene.cl_box, scene.cl_lw,
+                    scene.cl_order),
+                sort=_sort_traversal(cfg, scene))
+        else:
+            hit = bvh_closest(o, d, near, far,
+                              scene.aabb_links, scene.node_begin,
+                              scene.node_count, scene.tri_v0, scene.tri_e1,
+                              scene.tri_e2, leaf_size=cfg.bvh_leaf_size)
+            t, tid = hit.t, hit.tri_id
+        inst = None
+        tid = jax.lax.stop_gradient(tid)
+        tp = gather_rows(scene.tri_pack, jnp.maximum(tid, 0))
+    t_r, b1_r, b2_r, det = refine_tri(o, d, tp[:, 0:3], tp[:, 3:6],
+                                      tp[:, 6:9])
     ext = jax.lax.stop_gradient(det > 0.0)
     hit_mask = tid >= 0
     t = jnp.where(hit_mask, t_r, jax.lax.stop_gradient(t))
     b1 = jnp.where(hit_mask, b1_r, 0.0)
     b2 = jnp.where(hit_mask, b2_r, 0.0)
-    return t, tid, None, b1, b2, ext
+    return t, tid, inst, b1, b2, ext, tp
 
 
 def texture_shadow_factor(scene: DeviceScene, o, d, dist, chunk: int = 512):
@@ -333,7 +362,8 @@ def _shadow_core(scene: DeviceScene, cfg: RenderConfig, o, d, dist, hw=None):
                 scene.tri_v0, scene.tri_e1, scene.tri_e2,
                 scene.exp_tri, scene.exp_inst, scene.inst_fwd)
 
-        return _run_coherent(cfg, hw, o, d, (dist,), run)
+        return _run_coherent(cfg, hw, o, d, (dist,), run,
+                             sort=_sort_traversal(cfg, scene))
 
     op_rgb = scene.mat_color[scene.tri_mat][:, :3]
     op_a = 1.0 - scene.mat_color[scene.tri_mat][:, 3]
@@ -347,7 +377,8 @@ def _shadow_core(scene: DeviceScene, cfg: RenderConfig, o, d, dist, hw=None):
             lambda o, d, dist: cluster_shadow(
                 o, d, dist, scene.cl_box, scene.cl_lw, scene.cl_order,
                 scene.cl_base, scene.cl_count, scene.tri_v0, scene.tri_e1,
-                scene.tri_e2, op_rgb, op_a))
+                scene.tri_e2, op_rgb, op_a),
+            sort=_sort_traversal(cfg, scene))
     return bvh_shadow(o, d, dist,
                       scene.aabb_links, scene.node_begin, scene.node_count,
                       scene.tri_v0, scene.tri_e1, scene.tri_e2, op_rgb, op_a,
@@ -568,49 +599,37 @@ def bounce_step(scene: DeviceScene, cam: DeviceCamera, cfg: RenderConfig,
     near = jnp.where(depth0 == 0, cam.near_far[0], state.near)
     far = jnp.where(depth0 == 0, cam.near_far[1], state.far)
 
+    mp = mat_pack(scene)
     med = jnp.clip(state.medium, 0, scene.n_materials - 1)
-    med_color = gather_rows(scene.mat_color, med)
-    med_scatter = gather_rows(scene.mat_scattering, med)
-    med_ior = gather_rows(scene.mat_ior, med)
+    med_row = gather_rows(mp, med)
+    med_color = med_row[:, 0:4]
+    med_ior = med_row[:, 7]
+    med_scatter = med_row[:, 8]
 
     # --- volumetric free flight (cuda_material.cuh:141-159) ---
     scat_dist = -jnp.log(u[:, 0] + 1e-4) / jnp.maximum(med_scatter, 1e-20)
     has_scatter = med_scatter > 1e-4
     far_eff = jnp.where(has_scatter, jnp.minimum(far, scat_dist), far)
 
-    # --- closest intersection ---
-    t, tri_id, inst_id, b1, b2, external = closest_hit(scene, cfg, o, d, near,
-                                                       far_eff, hw=(H, W))
+    # --- closest intersection (tp = the hit's packed attribute row) ---
+    t, tri_id, inst_id, b1, b2, external, tp = closest_hit(
+        scene, cfg, o, d, near, far_eff, hw=(H, W))
     hit_obj = tri_id >= 0
     scatter_evt = has_scatter & ~hit_obj & (scat_dist < far)
     any_hit = hit_obj | scatter_evt
     t_final = jnp.where(hit_obj, t, jnp.where(scatter_evt, scat_dist, far_eff))
 
-    tri = jnp.maximum(tri_id, 0)
+    e1, e2 = tp[:, 3:6], tp[:, 6:9]
+    n0_w, n1_w, n2_w = tp[:, 9:12], tp[:, 12:15], tp[:, 15:18]
     if scene.two_level:
-        # object-space geometry -> world via the instance's transform;
         # material resolved through the instance's slot table (reference
         # Instance::analyzeIntersection, cuda_instance.cuh:231-264)
         inst = jnp.maximum(inst_id, 0)
-        fwd = gather_rows(scene.inst_fwd, inst)
-        nrm_rows = gather_rows(scene.inst_nrm, inst)
-        e1 = _apply_fwd(fwd, gather_rows(scene.tri_e1, tri), False)
-        e2 = _apply_fwd(fwd, gather_rows(scene.tri_e2, tri), False)
-
-        def _wn(arr):
-            return normalize(_apply_nrm(nrm_rows, gather_rows(arr, tri)))
-
-        n0_w, n1_w, n2_w = _wn(scene.tri_n0), _wn(scene.tri_n1), _wn(scene.tri_n2)
-        slot = gather_rows(scene.tri_slot, tri)
+        slot = jnp.rint(tp[:, 24]).astype(jnp.int32)
         tri_mat_hit = gather_rows(scene.inst_slot_map.reshape(-1),
                                   inst * 64 + slot)
     else:
-        e1 = gather_rows(scene.tri_e1, tri)
-        e2 = gather_rows(scene.tri_e2, tri)
-        n0_w = gather_rows(scene.tri_n0, tri)
-        n1_w = gather_rows(scene.tri_n1, tri)
-        n2_w = gather_rows(scene.tri_n2, tri)
-        tri_mat_hit = gather_rows(scene.tri_mat, tri)
+        tri_mat_hit = jnp.rint(tp[:, 24]).astype(jnp.int32)
 
     surf_mat = jnp.where(hit_obj, tri_mat_hit,
                          jnp.where(scatter_evt, med, WORLD_MATERIAL_ID))
@@ -620,9 +639,7 @@ def bounce_step(scene: DeviceScene, cam: DeviceCamera, cfg: RenderConfig,
 
     # --- surface frame ---
     b0 = 1.0 - b1 - b2
-    tt0 = gather_rows(scene.tri_t0, tri)
-    tt1 = gather_rows(scene.tri_t1, tri)
-    tt2 = gather_rows(scene.tri_t2, tri)
+    tt0, tt1, tt2 = tp[:, 18:20], tp[:, 20:22], tp[:, 22:24]
     texcrd_hit = tt0 * b0[:, None] + tt1 * b1[:, None] + tt2 * b2[:, None]
     texcrd = jnp.where(hit_obj[:, None], texcrd_hit,
                        jnp.where(scatter_evt[:, None], 0.0, cam_ops.sky_texcrd(d)))
@@ -631,7 +648,7 @@ def bounce_step(scene: DeviceScene, cam: DeviceCamera, cfg: RenderConfig,
     vtx_n = normalize(n0_w * b0[:, None] + n1_w * b1[:, None]
                       + n2_w * b2[:, None])
 
-    mat = material_fetch(scene, surf_mat, texcrd)
+    mat = material_fetch(scene, mp, surf_mat, texcrd)
 
     # normal mapping (reference Triangle::mapNormal, cuda_render_parts.cuh:1095-1116)
     mapped = vtx_n
@@ -669,12 +686,12 @@ def bounce_step(scene: DeviceScene, cam: DeviceCamera, cfg: RenderConfig,
     new_depth = jnp.where(any_hit, depth0 + 1, PATH_LIMIT)
 
     # --- fresnel / reflectance ---
-    n2 = gather_rows(scene.mat_ior, jnp.clip(behind_mat, 0, scene.n_materials - 1))
+    n2 = gather_rows(mp, jnp.clip(behind_mat, 0,
+                                  scene.n_materials - 1))[:, 7]
     fresnel, refr_ratio, refr_b = fresnel_specular_ratio(mapped_normal, d, med_ior, n2)
     reflectance = lerp(fresnel, 1.0, mat.metalness)
 
-    surf_scattering = gather_rows(scene.mat_scattering,
-                                  jnp.clip(surf_mat, 0, scene.n_materials - 1))
+    surf_scattering = mat.scattering
     next_dir, tint, refracted = sample_direction(
         d, normal, mapped_normal, mat, surf_scattering, fresnel, reflectance,
         refr_ratio, refr_b, u[:, 1], u[:, 2], u[:, 3])
@@ -795,7 +812,7 @@ def ray_cast(scene: DeviceScene, cam: DeviceCamera, cfg: RenderConfig,
     depth = state.depth_buf[pixel_y, pixel_x]
     near = depth * 0.99 * jnp.ones(1)
     far = depth * 1.01 * jnp.ones(1)
-    t, tid, inst_id, b1, b2, ext = closest_hit(scene, cfg, o, d, near, far)
+    t, tid, inst_id, b1, b2, ext, _tp = closest_hit(scene, cfg, o, d, near, far)
     hit = tid[0] >= 0
     tri = jnp.maximum(tid[0], 0)
     if scene.two_level:

@@ -107,6 +107,16 @@ class JsonLoader:
                 "Map definition has to contain \"name\" and \"file\" properties")
             return None
         file = str(value["file"])
+        # cross-load dedup: a map already loaded from this path (in ANY
+        # previous load into this world) is reused (reference LoadedSet,
+        # loader.hpp:16-134)
+        from .loader import loaded_set
+        lset = loaded_set(self.world)
+        cached = lset.get(kind, self.make_path(file))
+        if cached is not None and any(
+                cached is m for m in getattr(self.world, container)):
+            self._register(kind, str(value.get("name", cached.name)), cached)
+            return cached
         hdr_emission = None
         try:
             if (kind == "Texture"
@@ -137,6 +147,7 @@ class JsonLoader:
         m = cls(name=str(value["name"]), data=data, **kwargs)
         getattr(self.world, container).create(m)
         self._register(kind, m.name, m)
+        lset.add(kind, self.make_path(file), m)
         if hdr_emission is not None:
             emi = EmissionMap(name=f"{m.name} emission", data=hdr_emission,
                               **kwargs)
@@ -613,19 +624,60 @@ class JsonSaver:
         self.world = world
         self.path = os.path.abspath(path)
         self.base = os.path.dirname(self.path)
+        self._written: list = []     # files created by this save (rollback)
 
-    def save(self) -> None:
+    def save(self, options=None) -> None:
+        """Write the scene; ``options`` is a loader.SaveOptions (None = all
+        defaults). On failure with allow_partial_write=False, every file
+        this save created is removed again."""
+        from .loader import SaveOptions
+        options = options or SaveOptions()
+        self._written = []
+        try:
+            self._save(options)
+        except BaseException:
+            if not options.allow_partial_write:
+                for f in self._written:
+                    try:
+                        os.remove(f)
+                    except OSError:
+                        pass
+            raise
+
+    def _want(self, options, group: str) -> bool:
+        return options.only is None or group in options.only
+
+    def _write_map_file(self, kind, i, m, options) -> str:
+        data = m.data if m.data.shape[2] > 1 else np.repeat(m.data, 3, 2)
+        if options.duplicate_textures:
+            fname = os.path.join("maps", f"{kind}_{i}_{m.name}.png")
+        else:
+            # content-hash name: identical maps share one file and an
+            # unchanged map is never rewritten (map dedup on save —
+            # reference SaveOptions::duplicate_textures=false semantics)
+            import hashlib
+            h = hashlib.sha1(np.ascontiguousarray(m.data).tobytes())
+            fname = os.path.join("maps", f"{kind}_{h.hexdigest()[:10]}.png")
+            if os.path.exists(os.path.join(self.base, fname)):
+                return fname
+        save_image(os.path.join(self.base, fname), data)
+        self._written.append(os.path.join(self.base, fname))
+        return fname
+
+    def _save(self, options) -> None:
         os.makedirs(self.base, exist_ok=True)
-        maps_dir = os.path.join(self.base, "maps")
         objects: dict = {}
         map_names: dict = {}
 
         for kind, (attr, cls, container) in _MAP_KEYS.items():
+            if not self._want(options, "maps"):
+                # names must still resolve for material references
+                for m in getattr(self.world, container):
+                    map_names[id(m)] = m.name
+                continue
             entries = []
             for i, m in enumerate(getattr(self.world, container)):
-                fname = os.path.join("maps", f"{kind}_{i}_{m.name}.png")
-                data = m.data if m.data.shape[2] > 1 else np.repeat(m.data, 3, 2)
-                save_image(os.path.join(self.base, fname), data)
+                fname = self._write_map_file(kind, i, m, options)
                 entries.append({
                     "name": m.name, "file": fname,
                     "filter mode": self.FILTER_NAMES[m.filter_mode],
@@ -639,7 +691,7 @@ class JsonSaver:
                 objects[kind] = entries
 
         materials = [_material_json(m, map_names) for m in self.world.materials]
-        if materials:
+        if materials and self._want(options, "materials"):
             objects["Material"] = materials
         mat_names = {id(m): m.name for m in self.world.materials}
 
@@ -659,7 +711,7 @@ class JsonSaver:
                      "m": int(mesh.tri_mat[k])}
                     for k in range(len(mesh.tri_v))],
             })
-        if meshes:
+        if meshes and self._want(options, "meshes"):
             objects["Mesh"] = meshes
         mesh_names = {id(m): m.name for m in self.world.meshes}
 
@@ -678,7 +730,7 @@ class JsonSaver:
                 "temporal blend": float(c.temporal_blend),
                 "enabled": bool(c.enabled),
             })
-        if cameras:
+        if cameras and self._want(options, "cameras"):
             objects["Camera"] = cameras
 
         spots = [{
@@ -689,7 +741,7 @@ class JsonSaver:
             "size": float(li.size), "emission": float(li.emission),
             "angle": float(li.beam_angle),
         } for li in self.world.spot_lights]
-        if spots:
+        if spots and self._want(options, "lights"):
             objects["SpotLight"] = spots
 
         directs = [{
@@ -698,7 +750,7 @@ class JsonSaver:
             "color": _color_json(np.append(li.color, 1.0)),
             "emission": float(li.emission), "size": float(li.angular_size),
         } for li in self.world.direct_lights]
-        if directs:
+        if directs and self._want(options, "lights"):
             objects["DirectLight"] = directs
 
         instances = []
@@ -715,7 +767,7 @@ class JsonSaver:
             if mats:
                 entry["Material"] = mats
             instances.append(entry)
-        if instances:
+        if instances and self._want(options, "instances"):
             objects["Instance"] = instances
 
         groups = []
@@ -731,7 +783,7 @@ class JsonSaver:
             if g.groups:
                 entry["groups"] = [sg.name for sg in g.groups]
             groups.append(entry)
-        if groups:
+        if groups and self._want(options, "groups"):
             objects["Group"] = groups
 
         doc = {
@@ -739,5 +791,8 @@ class JsonSaver:
             "Material": _material_json(self.world.material, map_names),
             "DefaultMaterial": _material_json(self.world.default_material, map_names),
         }
+        existed = os.path.exists(self.path)
         with open(self.path, "w", encoding="utf-8") as f:
             json.dump(doc, f, indent=1)
+        if not existed:
+            self._written.append(self.path)

@@ -121,6 +121,13 @@ class DeviceScene:
     cut_t2: Any = None
     cut_map: Any = None       # [C] i32 texture map id
 
+    # all per-hit shading attributes in ONE row, so resolving a hit costs a
+    # single [R]-row gather instead of ~12 (measured 3.4 ms per 512^2 gather
+    # from a 65k-row table — separate gathers dominated bounce_step).
+    # cols: v0 0:3 | e1 3:6 | e2 6:9 | n0 9:12 | n1 12:15 | n2 15:18 |
+    #       t0 18:20 | t1 20:22 | t2 22:24 | mat-or-slot 24 | inst 25
+    tri_pack: Any = None      # [F,32] f32
+
     # flat cluster-traversal tables (ops/traverse_cluster.py): BVH leaves of
     # ~128 triangles visited front-to-back as MXU-dense blocks — the fast
     # soup path for scenes past the brute-force sweet spot (None when tiny)
@@ -223,6 +230,19 @@ def _pack_shelf(maps: list[TextureMap], channels: int):
 # ---------------------------------------------------------------------------
 # world compilation
 # ---------------------------------------------------------------------------
+
+def _pack_tri_rows(v0, e1, e2, n0, n1, n2, t0, t1, t2, mat_or_slot, inst):
+    """[F,32] packed per-triangle shading row (DeviceScene.tri_pack):
+    v0 0:3 | e1 3:6 | e2 6:9 | n0 9:12 | n1 12:15 | n2 15:18 | t0 18:20 |
+    t1 20:22 | t2 22:24 | mat-or-slot 24 | inst 25 | pad 26:32. One gather
+    of this row resolves a hit's whole shading frame."""
+    f = len(v0)
+    return np.concatenate([
+        v0, e1, e2, n0, n1, n2, t0, t1, t2,
+        np.asarray(mat_or_slot, np.float32).reshape(f, 1),
+        np.asarray(inst, np.float32).reshape(f, 1),
+        np.zeros((f, 6), np.float32)], axis=1).astype(np.float32)
+
 
 def _pad_rows(a: np.ndarray, n: int, fill=0.0) -> np.ndarray:
     if len(a) >= n:
@@ -397,6 +417,18 @@ def _two_level_arrays(world: World, mat_index: dict) -> dict:
         tri_t1=jnp.asarray(_pad_rows(tri_t1, n_tri_pad, 0.0)),
         tri_t2=jnp.asarray(_pad_rows(tri_t2, n_tri_pad, 0.0)),
         tri_slot=jnp.asarray(_pad_rows(tri_slot, n_tri_pad, 0)),
+        tri_pack=jnp.asarray(_pack_tri_rows(
+            _pad_rows(tri_v0, n_tri_pad, 1e30),
+            _pad_rows(tri_e1, n_tri_pad, 0.0),
+            _pad_rows(tri_e2, n_tri_pad, 0.0),
+            _pad_rows(tri_n0, n_tri_pad, 0.0),
+            _pad_rows(tri_n1, n_tri_pad, 0.0),
+            _pad_rows(tri_n2, n_tri_pad, 0.0),
+            _pad_rows(tri_t0, n_tri_pad, 0.0),
+            _pad_rows(tri_t1, n_tri_pad, 0.0),
+            _pad_rows(tri_t2, n_tri_pad, 0.0),
+            _pad_rows(tri_slot, n_tri_pad, 0),
+            np.full(n_tri_pad, -1, np.int32))),
         # inert soup fields (the two-level path never reads them)
         tri_mat=jnp.zeros(n_tri_pad, jnp.int32),
         tri_inst=jnp.full(n_tri_pad, -1, jnp.int32),
@@ -603,6 +635,9 @@ def compile_world(world: World, leaf_size: int = 8,
     tri_mat = _pad_rows(tri_mat, n_tri_pad, DEFAULT_MATERIAL_ID)
     tri_inst = _pad_rows(tri_inst, n_tri_pad, -1)
     tri_pw, tri_pc = triangle_frames(tri_v0, tri_e1, tri_e2)
+    tri_pack = _pack_tri_rows(tri_v0, tri_e1, tri_e2, tri_n0, tri_n1,
+                              tri_n2, tri_t0, tri_t1, tri_t2, tri_mat,
+                              tri_inst)
 
     # cluster tables (the fast traversal past cfg.brute_force_threshold).
     # Built for every non-empty scene: tiny scenes cost one ~8 KB cluster,
@@ -626,6 +661,7 @@ def compile_world(world: World, leaf_size: int = 8,
         tri_t0=jnp.asarray(tri_t0), tri_t1=jnp.asarray(tri_t1), tri_t2=jnp.asarray(tri_t2),
         tri_mat=jnp.asarray(tri_mat), tri_inst=jnp.asarray(tri_inst),
         tri_pw=jnp.asarray(tri_pw), tri_pc=jnp.asarray(tri_pc),
+        tri_pack=jnp.asarray(tri_pack),
         aabb_links=jnp.asarray(aabb_links),
         node_begin=jnp.asarray(bvh.node_begin), node_count=jnp.asarray(bvh.node_count),
         mat_color=jnp.asarray(mat_color), mat_metalness=jnp.asarray(mat_metalness),

@@ -39,7 +39,7 @@ def primary_hits(scene, cam, cfg):
     R = o.shape[0]
     near = jnp.full(R, cam.near_far[0])
     far = jnp.full(R, cam.near_far[1])
-    t, tid, _inst, b1, b2, ext = closest_hit(scene, cfg, o, d, near, far)
+    t, tid, _inst, b1, b2, ext, _tp = closest_hit(scene, cfg, o, d, near, far)
     t = jnp.where(tid >= 0, t, far)
     space = o + d * t[:, None]
     return t.reshape(H, W), space.reshape(H, W, 3)

@@ -10,11 +10,19 @@ TPU the fix is to restore coherence instead).
 
 ``sort_perm`` orders rays by a 32-bit coherence key:
 
-    [31:29] direction octant      (3 bits — the walk's traversal order)
-    [28:8]  origin Morton code    (7 bits/axis, batch-normalized bounds)
-    [7:0]   direction bits        (4+4 bits of the two minor axes)
+    [31:26] coarse origin cell    (2 bits/axis, batch-normalized bounds)
+    [25:23] direction octant      (3 bits)
+    [22:15] direction bits        (4+4 bits of the two minor |d| ratios)
+    [14:0]  fine origin Morton    (5 bits/axis)
 
-so each 1024-ray block becomes a spatially tight, similarly-directed bundle.
+The ORDER of the fields is the design (measured with tools/visitstats.py
+on mesh_heavy's bounce wavefront): bounce origins are already coherent in
+pixel order, so a fine-Morton-major key changes nothing (every block still
+needs every cluster: 312 gated visits/block); a coarse-region-major key
+whose cells hold several blocks, SPLIT BY DIRECTION inside each cell,
+gives blocks a sign-definite direction box and drops gated visits to ~54.
+Octant-major (the previous key) fails the other way: blocks collect one
+octant from all over the image and the origin box spans the scene.
 Origins are normalized by the batch's own min/max — no scene bounds needed,
 and shadow rays (origins on visible surfaces) bin just as well as bounce rays.
 For camera rays (all origins equal) the key degrades to direction bits, which
@@ -48,12 +56,11 @@ def coherence_keys(origin, direction):
     """uint32 coherence key per ray (see module docstring)."""
     lo = jnp.min(origin, axis=0)
     hi = jnp.max(origin, axis=0)
-    q = _quant(origin, lo, hi, 128.0)                       # [R,3] 7-bit
-    morton = (_spread3(q[:, 0]) | (_spread3(q[:, 1]) << 1)
-              | (_spread3(q[:, 2]) << 2))                   # 21 bits
-    octant = ((direction[:, 0] < 0).astype(jnp.uint32)
-              | ((direction[:, 1] < 0).astype(jnp.uint32) << 1)
-              | ((direction[:, 2] < 0).astype(jnp.uint32) << 2))
+    qc = _quant(origin, lo, hi, 4.0).astype(jnp.uint32)     # [R,3] 2-bit
+    coarse = qc[:, 0] | (qc[:, 1] << 2) | (qc[:, 2] << 4)   # 6 bits
+    qf = _quant(origin, lo, hi, 32.0)                       # [R,3] 5-bit
+    fine = (_spread3(qf[:, 0]) | (_spread3(qf[:, 1]) << 1)
+            | (_spread3(qf[:, 2]) << 2)) & jnp.uint32(0x7FFF)  # 15 bits
     # 4 bits each from the two minor |direction| axes (scale-free in [0,1])
     ad = jnp.abs(direction)
     mx = jnp.max(ad, axis=1, keepdims=True)
@@ -64,7 +71,10 @@ def coherence_keys(origin, direction):
     top2 = jax.lax.top_k(r0, 2)[0]                          # [R,2] in [0,1]
     db = (_quant(top2[:, 0], 0.0, 1.0, 16.0).astype(jnp.uint32) << 4) | \
         _quant(top2[:, 1], 0.0, 1.0, 16.0).astype(jnp.uint32)
-    return (octant << 29) | (morton << 8) | db
+    octant = ((direction[:, 0] < 0).astype(jnp.uint32)
+              | ((direction[:, 1] < 0).astype(jnp.uint32) << 1)
+              | ((direction[:, 2] < 0).astype(jnp.uint32) << 2))
+    return (coarse << 26) | (octant << 23) | (db << 15) | fine
 
 
 def sort_perm(origin, direction):

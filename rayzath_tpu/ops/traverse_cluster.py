@@ -69,6 +69,7 @@ RESIDENT_CLUSTERS = 1280  # 6 KB/cluster -> 7.5 MB VMEM at the cap
 # poison every rank. Anything >= INF_GATE is treated as unreachable.
 INF = np.float32(1e37)
 INF_GATE = np.float32(1e36)
+RANK_CHUNK = 128        # all-pairs rank row-chunk (bounds VMEM at [128, C])
 
 # box_tab sublane layout ([8, Cp] f32, clusters on lanes)
 B_MIN = 0               # rows 0..2: cluster AABB min xyz
@@ -273,18 +274,27 @@ def _rank_clusters(dist):
     One all-pairs compare ([C, C] elementwise + a sublane reduction) replaces
     a per-iteration ``argmin`` chain: measured on-chip, argmin+mask costs
     ~0.6 us per visit step (a serial dependency), while rank extraction by
-    masked reduce costs ~0.1 us and leaves iterations independent."""
+    masked reduce costs ~0.1 us and leaves iterations independent. The
+    compare runs in row chunks inside a sequential fori_loop so the VMEM
+    working set stays [RANK_CHUNK, C] (an unrolled or single-shot [C, C]
+    table blows the 16 MB scoped-VMEM limit past ~2k candidates)."""
     c = dist.shape[1]
-    # dist as a column via the MXU-transpose trick (Mosaic-cheap)
-    ri = jax.lax.broadcasted_iota(jnp.int32, (c, c), 0)
-    ci = jax.lax.broadcasted_iota(jnp.int32, (c, c), 1)
-    eye = (ri == ci).astype(jnp.float32)
-    dist_col = jax.lax.dot_general(eye, dist, (((1,), (1,)), ((), ())),
-                                   preferred_element_type=jnp.float32)
-    a = dist                                             # [1,C] -> dist[j]
-    b = dist_col                                         # [C,1] -> dist[i]
-    less = (b < a) | ((b == a) & (ri < ci))              # (d_i, i) < (d_j, j)
-    return jnp.sum(less.astype(jnp.float32), axis=0, keepdims=True)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (1, c), 1)
+    n = min(RANK_CHUNK, c)
+
+    def chunk_rank(k, acc):
+        i0 = k * n
+        ri = jax.lax.broadcasted_iota(jnp.int32, (n, c), 0) + i0
+        # chunk rows of dist as a column via the MXU-transpose trick
+        sel = (jax.lax.broadcasted_iota(jnp.int32, (n, c), 1) == ri)
+        dist_col = jax.lax.dot_general(
+            sel.astype(jnp.float32), dist, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)          # [n, 1]
+        less = (dist_col < dist) | ((dist_col == dist) & (ri < ci))
+        return acc + jnp.sum(less.astype(jnp.float32), axis=0, keepdims=True)
+
+    acc = jnp.zeros((1, c), jnp.float32)
+    return jax.lax.fori_loop(0, -(-c // n), chunk_rank, acc)
 
 
 def _rank_extract(rank, k, value_rows):
@@ -333,29 +343,65 @@ def _ray_slab(col, ox, oy, oz, ix, iy, iz):
     return tmin, tmax
 
 
-def _scene_clip(box_ref, ox, oy, oz, ix, iy, iz, near, far):
-    """Clip per-ray ``far`` to the exit distance of the union scene box.
+CLIP_K = 32             # occupancy boxes per scene (kernel loop is unrolled)
 
-    Rays pointing at the sky would otherwise keep far = BIG, so the
-    front-to-back early exit never fires and every block enumerates every
-    feasible cluster. Clipping bounds stop_t by the scene extent: a ray
-    whose segment leaves the scene box stops driving iteration at its exit
-    distance; one that misses it entirely is excluded (far = -1)."""
-    def union(row_lo, row_hi):
-        cnt = box_ref[B_CNT:B_CNT + 1, :]
-        lo = jnp.min(jnp.where(cnt > 0.0, box_ref[row_lo:row_lo + 1, :],
-                               INF))
-        hi = jnp.max(jnp.where(cnt > 0.0, box_ref[row_hi:row_hi + 1, :],
-                               -INF))
-        return lo, hi
 
-    ulx, uhx = union(B_MIN + 0, B_MAX + 0)
-    uly, uhy = union(B_MIN + 1, B_MAX + 1)
-    ulz, uhz = union(B_MIN + 2, B_MAX + 2)
-    col = [ulx, uly, ulz, uhx, uhy, uhz]
-    tmin, tmax = _ray_slab(col, ox, oy, oz, ix, iy, iz)
-    in_box = (tmax >= near) & (tmin <= tmax) & (tmin <= far) & (far > 0.0)
-    return jnp.where(in_box, jnp.minimum(far, tmax * 1.0001 + 1e-4), -1.0)
+def clip_rows_jnp(box_tab, n_real: int):
+    """In-jit [CLIP_K, 8] occupancy boxes from the cluster/unit AABB table:
+    contiguous lane groups (build order is spatial) are unioned into at most
+    CLIP_K coarse boxes. Lives in SMEM inside the kernels (scalar feeds).
+    Padding rows keep inverted boxes."""
+    cp = box_tab.shape[1]
+    k = 1
+    while k < CLIP_K and k * 16 < n_real:
+        k *= 2                                   # power of two divides cp
+    g = cp // k
+    mins = jnp.min(box_tab[B_MIN:B_MIN + 3].reshape(3, k, g), axis=2)
+    maxs = jnp.max(box_tab[B_MAX:B_MAX + 3].reshape(3, k, g), axis=2)
+    rows = jnp.concatenate([mins, maxs], axis=0).T          # [k, 6]
+    rows = jnp.pad(rows, ((0, CLIP_K - k), (0, 2)))
+    # padding boxes: inverted so no slab test can pass
+    inv = jnp.concatenate([jnp.full((CLIP_K - k, 3), 3e38),
+                           jnp.full((CLIP_K - k, 3), -3e38),
+                           jnp.zeros((CLIP_K - k, 2))], axis=1)
+    return rows.at[k:].set(inv)
+
+
+def _occupancy_clip(clip_ref, ox, oy, oz, ix, iy, iz, near, far):
+    """Clip per-ray ``far`` to the last exit from any occupancy box.
+
+    Rays pointing at the sky (or skimming over the geometry) would
+    otherwise keep far = BIG, so the front-to-back early exit never fires
+    and the block enumerates every feasible cluster. A ray whose segment
+    misses every occupancy box is excluded outright (far = -1). Runs in the
+    native [8, 128] register layout — [1, BLOCK] rows waste 7/8 of each
+    vreg's sublanes."""
+    def r8(v):
+        return v.reshape(8, BLOCK // 8)
+
+    o8 = (r8(ox), r8(oy), r8(oz))
+    i8 = (r8(ix), r8(iy), r8(iz))
+    near8, far8 = r8(near), r8(far)
+    far_occ = jnp.full((8, BLOCK // 8), -1.0, jnp.float32)
+    for j in range(CLIP_K):
+        col = [clip_ref[j, k] for k in range(6)]
+        tx1 = (col[0] - o8[0]) * i8[0]
+        ty1 = (col[1] - o8[1]) * i8[1]
+        tz1 = (col[2] - o8[2]) * i8[2]
+        tx2 = (col[3] - o8[0]) * i8[0]
+        ty2 = (col[4] - o8[1]) * i8[1]
+        tz2 = (col[5] - o8[2]) * i8[2]
+        tmin = jnp.maximum(jnp.maximum(jnp.minimum(tx1, tx2),
+                                       jnp.minimum(ty1, ty2)),
+                           jnp.minimum(tz1, tz2))
+        tmax = jnp.minimum(jnp.minimum(jnp.maximum(tx1, tx2),
+                                       jnp.maximum(ty1, ty2)),
+                           jnp.maximum(tz1, tz2))
+        hit = (tmax >= near8) & (tmin <= tmax) & (tmin <= far8)
+        far_occ = jnp.where(hit, jnp.maximum(far_occ, tmax), far_occ)
+    ok = (far_occ > 0.0) & (far8 > 0.0)
+    out = jnp.where(ok, jnp.minimum(far8, far_occ * 1.0001 + 1e-4), -1.0)
+    return out.reshape(1, BLOCK)
 
 
 def _frame_loader(streamed, lw_ref, scratch):
@@ -379,13 +425,13 @@ _ID_BIG = float(2 ** 30)
 
 
 def _closest_kernel(n_clusters: int, streamed: bool):
-    def kern(box_ref, rows_ref, lw_ref, o4_ref, d4_ref, nf_ref, t_ref,
-             id_ref, *scratch):
+    def kern(box_ref, rows_ref, clip_ref, lw_ref, o4_ref, d4_ref, nf_ref,
+             t_ref, id_ref, *scratch):
         o4 = o4_ref[:]
         d4 = d4_ref[:]
         ox, oy, oz, dx, dy, dz, ix, iy, iz = _ray_rows4(o4, d4)
         near, far_in = nf_ref[0:1, :], nf_ref[1:2, :]
-        far = _scene_clip(box_ref, ox, oy, oz, ix, iy, iz, near, far_in)
+        far = _occupancy_clip(clip_ref, ox, oy, oz, ix, iy, iz, near, far_in)
         valid_ray = far > 0.0
         load_frames = _frame_loader(streamed, lw_ref, scratch)
         sub_ids = jax.lax.broadcasted_iota(
@@ -445,14 +491,14 @@ def _closest_kernel(n_clusters: int, streamed: bool):
 # ---------------------------------------------------------------------------
 
 def _shadow_kernel(n_clusters: int, streamed: bool):
-    def kern(box_ref, rows_ref, lw_ref, op_ref, o4_ref, d4_ref, nf_ref,
-             mr_ref, mg_ref, mb_ref, ma_ref, *scratch):
+    def kern(box_ref, rows_ref, clip_ref, lw_ref, op_ref, o4_ref, d4_ref,
+             nf_ref, mr_ref, mg_ref, mb_ref, ma_ref, *scratch):
         o4 = o4_ref[:]
         d4 = d4_ref[:]
         ox, oy, oz, dx, dy, dz, ix, iy, iz = _ray_rows4(o4, d4)
         zero_row = jnp.zeros((1, BLOCK), jnp.float32)
-        dist_t = _scene_clip(box_ref, ox, oy, oz, ix, iy, iz, zero_row,
-                             nf_ref[0:1, :])
+        dist_t = _occupancy_clip(clip_ref, ox, oy, oz, ix, iy, iz, zero_row,
+                                 nf_ref[0:1, :])
         valid_ray = dist_t > 0.0
         load_frames = _frame_loader(streamed, lw_ref, scratch)
         r128 = jax.lax.broadcasted_iota(jnp.int32, (CLUSTER_T, CLUSTER_T), 0)
@@ -528,6 +574,8 @@ def _specs(streamed: bool, box_shape, lw_shape):
                             memory_space=pltpu.VMEM)
     rows_spec = pl.BlockSpec((box_shape[1], 128), lambda i: (0, 0),
                              memory_space=pltpu.VMEM)
+    clip_spec = pl.BlockSpec((CLIP_K, 8), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM)
     lw_spec = pl.BlockSpec(lw_shape, lambda i: (0, 0, 0),
                            memory_space=pl.ANY if streamed else pltpu.VMEM)
     ray_spec = pl.BlockSpec((1, 4, BLOCK), lambda i: (i, 0, 0),
@@ -535,7 +583,8 @@ def _specs(streamed: bool, box_shape, lw_shape):
     nf_spec = pl.BlockSpec((1, 2, BLOCK), lambda i: (i, 0, 0),
                            memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((1, 1, BLOCK), lambda i: (i, 0, 0))
-    return box_spec, rows_spec, lw_spec, ray_spec, nf_spec, out_spec
+    return (box_spec, rows_spec, clip_spec, lw_spec, ray_spec, nf_spec,
+            out_spec)
 
 
 def _scratch(streamed: bool):
@@ -557,25 +606,28 @@ def _cluster_closest_impl(origin, direction, near, far, box_tab, frames):
     nf = jnp.stack([jnp.pad(near, (0, rp - R)),
                     jnp.pad(far, (0, rp - R), constant_values=-1.0)], axis=0)
     nf_b = nf.reshape(2, nb, BLOCK).transpose(1, 0, 2)
-    box_spec, rows_spec, lw_spec, ray_spec, nf_spec, out_spec = _specs(
-        streamed, box_tab.shape, frames.shape)
+    (box_spec, rows_spec, clip_spec, lw_spec, ray_spec, nf_spec,
+     out_spec) = _specs(streamed, box_tab.shape, frames.shape)
 
-    def kern(box_ref, rows_ref, lw_ref, o4_ref, d4_ref, nf_ref, t_ref,
-             id_ref, *scratch):
+    def kern(box_ref, rows_ref, clip_ref, lw_ref, o4_ref, d4_ref, nf_ref,
+             t_ref, id_ref, *scratch):
         inner = _closest_kernel(n_clusters, streamed)
-        inner(box_ref, rows_ref, lw_ref, o4_ref.at[0], d4_ref.at[0],
-              nf_ref.at[0], t_ref.at[0], id_ref.at[0], *scratch)
+        inner(box_ref, rows_ref, clip_ref, lw_ref, o4_ref.at[0],
+              d4_ref.at[0], nf_ref.at[0], t_ref.at[0], id_ref.at[0],
+              *scratch)
 
     t, tid = pl.pallas_call(
         kern,
         grid=(nb,),
         out_shape=(jax.ShapeDtypeStruct((nb, 1, BLOCK), jnp.float32),
                    jax.ShapeDtypeStruct((nb, 1, BLOCK), jnp.float32)),
-        in_specs=[box_spec, rows_spec, lw_spec, ray_spec, ray_spec, nf_spec],
+        in_specs=[box_spec, rows_spec, clip_spec, lw_spec, ray_spec,
+                  ray_spec, nf_spec],
         out_specs=(out_spec, out_spec),
         scratch_shapes=_scratch(streamed),
         interpret=_interpret(),
-    )(box_tab, box_rows(box_tab), frames, o4, d4, nf_b)
+    )(box_tab, box_rows(box_tab), clip_rows_jnp(box_tab, n_clusters),
+      frames, o4, d4, nf_b)
     return t.reshape(rp)[:R], tid.reshape(rp)[:R].astype(jnp.int32)
 
 
@@ -602,30 +654,32 @@ def _cluster_shadow_impl(origin, direction, dist, box_tab, frames, op_tab):
     nf = jnp.stack([jnp.pad(dist, (0, rp - R), constant_values=-1.0),
                     jnp.zeros(rp, jnp.float32)], axis=0)
     nf_b = nf.reshape(2, nb, BLOCK).transpose(1, 0, 2)
-    box_spec, rows_spec, lw_spec, ray_spec, nf_spec, out_spec = _specs(
-        streamed, box_tab.shape, frames.shape)
+    (box_spec, rows_spec, clip_spec, lw_spec, ray_spec, nf_spec,
+     out_spec) = _specs(streamed, box_tab.shape, frames.shape)
     op_spec = pl.BlockSpec(op_tab.shape, lambda i: (0, 0, 0),
                            memory_space=pltpu.VMEM)
 
-    def kern(box_ref, rows_ref, lw_ref, op_ref, o4_ref, d4_ref, nf_ref,
-             *rest):
+    def kern(box_ref, rows_ref, clip_ref, lw_ref, op_ref, o4_ref, d4_ref,
+             nf_ref, *rest):
         outs, scratch = rest[:4], rest[4:]
         inner = _shadow_kernel(n_clusters, streamed)
-        inner(box_ref, rows_ref, lw_ref, op_ref, o4_ref.at[0], d4_ref.at[0],
-              nf_ref.at[0], *[o.at[0] for o in outs], *scratch)
+        inner(box_ref, rows_ref, clip_ref, lw_ref, op_ref, o4_ref.at[0],
+              d4_ref.at[0], nf_ref.at[0], *[o.at[0] for o in outs],
+              *scratch)
 
     outs = pl.pallas_call(
         kern,
         grid=(nb,),
         out_shape=tuple(jax.ShapeDtypeStruct((nb, 1, BLOCK), jnp.float32)
                         for _ in range(4)),
-        in_specs=[box_spec, rows_spec, lw_spec, op_spec, ray_spec, ray_spec,
-                  nf_spec],
+        in_specs=[box_spec, rows_spec, clip_spec, lw_spec, op_spec,
+                  ray_spec, ray_spec, nf_spec],
         out_specs=tuple(pl.BlockSpec((1, 1, BLOCK), lambda i: (i, 0, 0))
                         for _ in range(4)),
         scratch_shapes=_scratch(streamed),
         interpret=_interpret(),
-    )(box_tab, box_rows(box_tab), frames, op_tab, o4, d4, nf_b)
+    )(box_tab, box_rows(box_tab), clip_rows_jnp(box_tab, n_clusters),
+      frames, op_tab, o4, d4, nf_b)
     mr, mg, mb, ma = [x.reshape(rp)[:R] for x in outs]
     return jnp.stack([mr, mg, mb], axis=1), ma
 
@@ -768,13 +822,13 @@ def _object_rays(row, ox, oy, oz, dx, dy, dz):
 
 
 def _closest_kernel_inst(n_units: int, streamed: bool):
-    def kern(box_ref, rows_ref, lw_ref, o4_ref, d4_ref, nf_ref,
+    def kern(box_ref, rows_ref, clip_ref, lw_ref, o4_ref, d4_ref, nf_ref,
              t_ref, id_ref, inst_ref, *scratch):
         o4 = o4_ref[:]
         d4 = d4_ref[:]
         ox, oy, oz, dx, dy, dz, ix, iy, iz = _ray_rows4(o4, d4)
         near, far_in = nf_ref[0:1, :], nf_ref[1:2, :]
-        far = _scene_clip(box_ref, ox, oy, oz, ix, iy, iz, near, far_in)
+        far = _occupancy_clip(clip_ref, ox, oy, oz, ix, iy, iz, near, far_in)
         valid_ray = far > 0.0
         load_frames = _frame_loader(streamed, lw_ref, scratch)
         sub_ids = jax.lax.broadcasted_iota(
@@ -837,14 +891,14 @@ def _closest_kernel_inst(n_units: int, streamed: bool):
 
 
 def _shadow_kernel_inst(n_units: int, streamed: bool):
-    def kern(box_ref, rows_ref, lw_ref, op_ref, o4_ref, d4_ref, nf_ref,
-             mr_ref, mg_ref, mb_ref, ma_ref, *scratch):
+    def kern(box_ref, rows_ref, clip_ref, lw_ref, op_ref, o4_ref, d4_ref,
+             nf_ref, mr_ref, mg_ref, mb_ref, ma_ref, *scratch):
         o4 = o4_ref[:]
         d4 = d4_ref[:]
         ox, oy, oz, dx, dy, dz, ix, iy, iz = _ray_rows4(o4, d4)
         zero_row = jnp.zeros((1, BLOCK), jnp.float32)
-        dist_t = _scene_clip(box_ref, ox, oy, oz, ix, iy, iz, zero_row,
-                             nf_ref[0:1, :])
+        dist_t = _occupancy_clip(clip_ref, ox, oy, oz, ix, iy, iz, zero_row,
+                                 nf_ref[0:1, :])
         valid_ray = dist_t > 0.0
         load_frames = _frame_loader(streamed, lw_ref, scratch)
         r128 = jax.lax.broadcasted_iota(jnp.int32, (CLUSTER_T, CLUSTER_T), 0)
@@ -916,29 +970,30 @@ def _cluster_closest_inst_impl(origin, direction, near, far, u_box, u_rows,
     nf = jnp.stack([jnp.pad(near, (0, rp - R)),
                     jnp.pad(far, (0, rp - R), constant_values=-1.0)], axis=0)
     nf_b = nf.reshape(2, nb, BLOCK).transpose(1, 0, 2)
-    box_spec, _, lw_spec, ray_spec, nf_spec, out_spec = _specs(
-        streamed, u_box.shape, frames.shape)
+    (box_spec, _, clip_spec, lw_spec, ray_spec, nf_spec,
+     out_spec) = _specs(streamed, u_box.shape, frames.shape)
     rows_spec = pl.BlockSpec(u_rows.shape, lambda i: (0, 0),
                              memory_space=pltpu.VMEM)
 
-    def kern(box_ref, rows_ref, lw_ref, o4_ref, d4_ref, nf_ref, t_ref,
-             id_ref, inst_ref, *scratch):
+    def kern(box_ref, rows_ref, clip_ref, lw_ref, o4_ref, d4_ref, nf_ref,
+             t_ref, id_ref, inst_ref, *scratch):
         inner = _closest_kernel_inst(n_units, streamed)
-        inner(box_ref, rows_ref, lw_ref, o4_ref.at[0], d4_ref.at[0],
-              nf_ref.at[0], t_ref.at[0], id_ref.at[0], inst_ref.at[0],
-              *scratch)
+        inner(box_ref, rows_ref, clip_ref, lw_ref, o4_ref.at[0],
+              d4_ref.at[0], nf_ref.at[0], t_ref.at[0], id_ref.at[0],
+              inst_ref.at[0], *scratch)
 
     t, tid, inst = pl.pallas_call(
         kern,
         grid=(nb,),
         out_shape=tuple(jax.ShapeDtypeStruct((nb, 1, BLOCK), jnp.float32)
                         for _ in range(3)),
-        in_specs=[box_spec, rows_spec, lw_spec, ray_spec, ray_spec, nf_spec],
+        in_specs=[box_spec, rows_spec, clip_spec, lw_spec, ray_spec,
+                  ray_spec, nf_spec],
         out_specs=tuple(pl.BlockSpec((1, 1, BLOCK), lambda i: (i, 0, 0))
                         for _ in range(3)),
         scratch_shapes=_scratch(streamed),
         interpret=_interpret(),
-    )(u_box, u_rows, frames, o4, d4, nf_b)
+    )(u_box, u_rows, clip_rows_jnp(u_box, n_units), frames, o4, d4, nf_b)
     return (t.reshape(rp)[:R], tid.reshape(rp)[:R].astype(jnp.int32),
             inst.reshape(rp)[:R].astype(jnp.int32))
 
@@ -969,32 +1024,34 @@ def _cluster_shadow_inst_impl(origin, direction, dist, u_box, u_rows,
     nf = jnp.stack([jnp.pad(dist, (0, rp - R), constant_values=-1.0),
                     jnp.zeros(rp, jnp.float32)], axis=0)
     nf_b = nf.reshape(2, nb, BLOCK).transpose(1, 0, 2)
-    box_spec, _, lw_spec, ray_spec, nf_spec, out_spec = _specs(
-        streamed, u_box.shape, frames.shape)
+    (box_spec, _, clip_spec, lw_spec, ray_spec, nf_spec,
+     out_spec) = _specs(streamed, u_box.shape, frames.shape)
     rows_spec = pl.BlockSpec(u_rows.shape, lambda i: (0, 0),
                              memory_space=pltpu.VMEM)
     op_spec = pl.BlockSpec(op_tab.shape, lambda i: (0, 0, 0),
                            memory_space=pltpu.VMEM)
 
-    def kern(box_ref, rows_ref, lw_ref, op_ref, o4_ref, d4_ref, nf_ref,
-             *rest):
+    def kern(box_ref, rows_ref, clip_ref, lw_ref, op_ref, o4_ref, d4_ref,
+             nf_ref, *rest):
         outs, scratch = rest[:4], rest[4:]
         inner = _shadow_kernel_inst(n_units, streamed)
-        inner(box_ref, rows_ref, lw_ref, op_ref, o4_ref.at[0], d4_ref.at[0],
-              nf_ref.at[0], *[o.at[0] for o in outs], *scratch)
+        inner(box_ref, rows_ref, clip_ref, lw_ref, op_ref, o4_ref.at[0],
+              d4_ref.at[0], nf_ref.at[0], *[o.at[0] for o in outs],
+              *scratch)
 
     outs = pl.pallas_call(
         kern,
         grid=(nb,),
         out_shape=tuple(jax.ShapeDtypeStruct((nb, 1, BLOCK), jnp.float32)
                         for _ in range(4)),
-        in_specs=[box_spec, rows_spec, lw_spec, op_spec, ray_spec, ray_spec,
-                  nf_spec],
+        in_specs=[box_spec, rows_spec, clip_spec, lw_spec, op_spec,
+                  ray_spec, ray_spec, nf_spec],
         out_specs=tuple(pl.BlockSpec((1, 1, BLOCK), lambda i: (i, 0, 0))
                         for _ in range(4)),
         scratch_shapes=_scratch(streamed),
         interpret=_interpret(),
-    )(u_box, u_rows, frames, op_tab, o4, d4, nf_b)
+    )(u_box, u_rows, clip_rows_jnp(u_box, n_units), frames, op_tab, o4, d4,
+      nf_b)
     mr, mg, mb, ma = [x.reshape(rp)[:R] for x in outs]
     return jnp.stack([mr, mg, mb], axis=1), ma
 

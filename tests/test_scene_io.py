@@ -242,3 +242,91 @@ def test_obj_instances_and_roundtrip(obj_path, tmp_path):
     q1, q2 = w.meshes[0], meshes2[0].mesh
     assert np.allclose(q1.vertices, q2.vertices, atol=1e-5)
     assert np.array_equal(q1.tri_v, q2.tri_v)
+
+
+def test_save_options_selective_and_dedup(tmp_path):
+    """SaveOptions (reference saver.hpp:104-111): selective group save,
+    content-hash map dedup (no rewrite), rollback on failure."""
+    import os
+    import numpy as np
+    import rayzath_tpu as rz
+    from rayzath_tpu.io.loader import SaveOptions, save_scene
+
+    w = rz.scenes.textured_room(32, 24)
+    out = str(tmp_path / "scene.json")
+
+    # selective: lights only
+    save_scene(w, out, SaveOptions(only=frozenset({"lights"})))
+    import json
+    doc = json.load(open(out))
+    assert "SpotLight" in doc["Objects"] or "DirectLight" in doc["Objects"]
+    assert "Mesh" not in doc["Objects"]
+    assert "Instance" not in doc["Objects"]
+
+    # full save twice: hash-named map files are written once, not rewritten
+    save_scene(w, out)
+    maps_dir = tmp_path / "maps"
+    files = sorted(os.listdir(maps_dir))
+    mtimes = {f: os.path.getmtime(maps_dir / f) for f in files}
+    import time
+    time.sleep(0.05)
+    save_scene(w, out)
+    assert sorted(os.listdir(maps_dir)) == files
+    for f in files:
+        assert os.path.getmtime(maps_dir / f) == mtimes[f], f"{f} rewritten"
+
+    # duplicate_textures=True restores per-slot naming (distinct files)
+    save_scene(w, out, SaveOptions(duplicate_textures=True))
+    assert any("_0_" in f for f in os.listdir(maps_dir))
+
+
+def test_save_options_rollback_on_failure(tmp_path, monkeypatch):
+    import rayzath_tpu as rz
+    from rayzath_tpu.io.loader import SaveOptions
+    from rayzath_tpu.io.json_scene import JsonSaver
+
+    w = rz.scenes.textured_room(32, 24)
+    out = str(tmp_path / "x" / "scene.json")
+    saver = JsonSaver(w, out)
+
+    calls = {"n": 0}
+    orig = JsonSaver._write_map_file
+
+    def failing(self, kind, i, m, options):
+        calls["n"] += 1
+        if calls["n"] >= 2:
+            raise OSError("disk full")
+        return orig(self, kind, i, m, options)
+
+    monkeypatch.setattr(JsonSaver, "_write_map_file", failing)
+    try:
+        saver.save(SaveOptions(allow_partial_write=False))
+        assert False, "should have raised"
+    except OSError:
+        pass
+    import os
+    maps = tmp_path / "x" / "maps"
+    assert not maps.exists() or os.listdir(maps) == []
+
+
+def test_cross_load_dedup_reuses_maps(tmp_path):
+    """Loading two scenes that reference the same map file into one world
+    must reuse the loaded map object (reference LoadedSet,
+    loader.hpp:16-134)."""
+    import json
+    import numpy as np
+    import rayzath_tpu as rz
+    from rayzath_tpu.io.bitmap import save_image
+
+    img = np.random.default_rng(0).random((8, 8, 4)).astype(np.float32)
+    save_image(str(tmp_path / "shared.png"), img)
+    scene = {"Objects": {"Texture": [
+        {"name": "tex", "file": "shared.png"}]}}
+    for name in ("a.json", "b.json"):
+        (tmp_path / name).write_text(json.dumps(scene))
+
+    w = rz.World()
+    w.load_scene(str(tmp_path / "a.json"))
+    assert len(w.textures) == 1
+    w.load_scene(str(tmp_path / "b.json"))
+    assert len(w.textures) == 1, "same-path map duplicated across loads"
