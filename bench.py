@@ -36,7 +36,11 @@ import jax  # noqa: E402
 import numpy as np  # noqa: E402
 
 NORTH_STAR = 50e6  # rays/s/chip, Cornell depth 8 (BASELINE.json)
-HEADLINE = "cornell_box"
+# The headline is the NEE-honest Cornell (emissive quad + spot light):
+# every pass pays NEE + shadow traversal like the reference benchmark loop
+# (Application/headless.cpp:207-246). Plain cornell_box (emissive-only, no
+# shadow rays) is still measured for comparison.
+HEADLINE = "cornell_box_nee"
 DETAIL_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_DETAIL.json")
 

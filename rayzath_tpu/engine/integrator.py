@@ -404,13 +404,15 @@ def brdf_eval(d_in, mapped_normal, surface_scattering, roughness, alpha_op,
         # clamp to >= 0 so the denominator can't cross zero for backfacing
         # directions: the result is masked below, but an inf/NaN in the
         # unselected branch still poisons gradients (0 * inf = NaN in the
-        # where() backward pass)
+        # where() backward pass). Denominator floored at 1e-7 (not 1e-20):
+        # backward squares these factors, and 1e-20 floors produce ~1e40
+        # intermediates that overflow to inf in f32 gradients.
         c = jnp.maximum(c, 0.0)
-        return c / (c * (1.0 - roughness) + roughness + 1e-20)
+        return c / (c * (1.0 - roughness) + roughness + 1e-7)
 
     attenuation = att(n_dot_i) * att(n_dot_o)
     diffuse = n_dot_o * (alpha_op == 0.0)
-    specular = ndf * attenuation / jnp.maximum(n_dot_i * n_dot_o, 1e-20)
+    specular = ndf * attenuation / jnp.maximum(n_dot_i * n_dot_o, 1e-7)
     val = lerp(diffuse, specular * n_dot_o, reflectance)
     val = jnp.where((n_dot_o <= 0.0) | (n_dot_i <= 0.0), 0.0, val)
     return jnp.where(is_scatter, 1.0, val)
@@ -487,9 +489,12 @@ def _nee_spot(scene, cfg, point, next_dir, d_in, mapped_normal, surf_scattering,
         v_pl0 = lpos - point
         d_pl0 = jnp.sqrt(jnp.maximum(dot(v_pl0, v_pl0), 1e-20))
         vop_dot = dot(v_pl0, next_dir)
-        d_pq = jnp.sqrt(jnp.maximum(d_pl0 * d_pl0 - vop_dot * vop_dot, 0.0))
+        # sqrt args floored at 1e-20, not 0: d/dx sqrt(x) is infinite at 0,
+        # and rays pointing straight at the light center hit exactly 0 —
+        # the inf then poisons every gradient through this sample (NaN)
+        d_pq = jnp.sqrt(jnp.maximum(d_pl0 * d_pl0 - vop_dot * vop_dot, 1e-20))
         would_hit = (d_pq < lsize) & (vop_dot > 0.0)
-        d_oq = jnp.sqrt(jnp.maximum(d_pl0 * d_pl0 - d_pq * d_pq, 0.0))
+        d_oq = jnp.sqrt(jnp.maximum(d_pl0 * d_pl0 - d_pq * d_pq, 1e-20))
         vpl_hit = next_dir * jnp.maximum(d_oq, 1e-4)[:, None]
         vpl_disk = sample_disk(us[:, 1], us[:, 2], v_pl0 / d_pl0[:, None], lsize) + v_pl0
         vpl = jnp.where(would_hit[:, None], vpl_hit, vpl_disk)
@@ -702,7 +707,12 @@ def bounce_step(scene: DeviceScene, cam: DeviceCamera, cfg: RenderConfig,
     point = o + d * t_final[:, None] + nudge_n * (1e-4 * t_final)[:, None]
 
     # --- NEE (only for surviving surface interactions) ---
+    # miss rays carry point ~ o + d * BIG: the spot-light distance math then
+    # overflows f32 (inf - inf = NaN) and, although the contribution is
+    # masked by any_hit, the NaN still poisons gradients through the
+    # where() backward pass — so NEE sees a safe origin for masked lanes
     if scene.n_spot_lights or scene.n_direct_lights:
+        point_nee = jnp.where(any_hit[:, None], point, 0.0)
         vs_pdf = brdf_eval(d, mapped_normal, surf_scattering, mat.roughness,
                            mat.alpha_op, reflectance, next_dir)
         brdf_color = lerp(mat.color_rgb, jnp.ones_like(mat.color_rgb),
@@ -712,14 +722,14 @@ def bounce_step(scene: DeviceScene, cam: DeviceCamera, cfg: RenderConfig,
         if scene.n_spot_lights:
             ns = 3 * cfg.light_sampling.spot_light
             direct = direct + _nee_spot(
-                scene, cfg, point, next_dir, d, mapped_normal, surf_scattering,
+                scene, cfg, point_nee, next_dir, d, mapped_normal, surf_scattering,
                 mat.roughness, mat.alpha_op, reflectance, brdf_color, vs_pdf,
                 med_scatter, u[:, off:off + ns], hw=(H, W))
             off += ns
         if scene.n_direct_lights:
             ns = 3 * cfg.light_sampling.direct_light
             direct = direct + _nee_direct(
-                scene, cfg, point, next_dir, d, mapped_normal, surf_scattering,
+                scene, cfg, point_nee, next_dir, d, mapped_normal, surf_scattering,
                 mat.roughness, mat.alpha_op, reflectance, brdf_color, vs_pdf,
                 u[:, off:off + ns], hw=(H, W))
         metallic_tint = lerp(jnp.ones_like(mat.color_rgb), mat.color_rgb,

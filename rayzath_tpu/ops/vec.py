@@ -26,7 +26,7 @@ def cross(a, b):
 
 
 def length(v):
-    return jnp.sqrt(jnp.maximum(dot(v, v), 0.0))
+    return jnp.sqrt(jnp.maximum(dot(v, v), 1e-20))
 
 
 def normalize(v):
@@ -64,7 +64,7 @@ def cosine_sample_hemisphere(r1, r2, vn):
     sq = jnp.sqrt(r2)
     return (vx * (sq * jnp.cos(phi))[..., None]
             + vy * (sq * jnp.sin(phi))[..., None]
-            + vn * jnp.sqrt(jnp.maximum(1.0 - r2, 0.0))[..., None])
+            + vn * jnp.sqrt(jnp.maximum(1.0 - r2, 1e-12))[..., None])
 
 
 def sample_sphere(r1, r2, vn):
@@ -108,7 +108,10 @@ def fresnel_specular_ratio(vn, vi, n1, n2):
     cosi = jnp.abs(dot(vi, vn))
     sin2_t = ratio * ratio * (1.0 - cosi * cosi)
     tir = sin2_t >= 1.0
-    cost = jnp.sqrt(jnp.maximum(1.0 - sin2_t, 0.0))
+    # floored at 1e-12, not 0: at total internal reflection the clamp hits
+    # exactly 0 and d/dx sqrt(x) is infinite there — the inf leaks through
+    # the where() backward pass as 0 * inf = NaN into every upstream grad
+    cost = jnp.sqrt(jnp.maximum(1.0 - sin2_t, 1e-12))
     rp = (n1 * cosi - n2 * cost) / jnp.maximum(n1 * cosi + n2 * cost, EPS)
     rs = (n2 * cosi - n1 * cost) / jnp.maximum(n2 * cosi + n1 * cost, EPS)
     f = jnp.where(tir, 1.0, 0.5 * (rs * rs + rp * rp))

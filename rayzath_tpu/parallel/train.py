@@ -19,9 +19,31 @@ import jax.numpy as jnp
 from ..engine.integrator import render_steps_preserve
 from ..engine.state import RenderState
 
-# Scene leaves that receive gradients. ior/scattering are excluded by default:
-# their forward paths branch on total internal reflection / free-flight
-# comparisons where subgradients are ill-defined.
+# Scene leaves that receive gradients — every entry is finite-difference
+# validated in tests/test_gradients.py (material color/emission directly;
+# roughness/metalness/spot/direct emission via test_grad_fd_lights_and_
+# surface_params; atlas texels via test_grad_fd_atlas_texel; shadow-opacity
+# alpha through the cluster-shadow custom_vjp at 64^2 via
+# test_grad_fd_through_cluster_shadow_at_64px).
+#
+# ``mat_ior`` and ``mat_scattering`` are deliberately EXCLUDED, not merely
+# untested:
+# * ior enters through fresnel_specular_ratio, whose total-internal-
+#   reflection branch (sin2_t >= 1) switches the sampled direction family
+#   discontinuously; the pathwise derivative on either side exists but the
+#   estimator is biased across the TIR boundary, and near-boundary rays
+#   dominate the variance. A usable treatment needs a reparameterized /
+#   smoothed Fresnel (e.g. a sigmoid-relaxed TIR indicator annealed during
+#   training) — tracked as future work, not a one-line fix.
+# * scattering drives the exponential free-flight sampling
+#   (scat_dist = -log u / sigma) and the scatter-event DECISION
+#   (scat_dist < far): the decision flip is a discrete jump the pathwise
+#   gradient cannot see, so dL/d(sigma) is systematically wrong whenever
+#   event probabilities matter (exactly when one trains scattering).
+#   The principled fix is a score-function / differential-transmittance
+#   estimator for the event probability.
+# Training either today silently optimizes a biased objective, so they stay
+# out of DIFF_PARAMS until the estimators above exist.
 DIFF_PARAMS = ("mat_color", "mat_metalness", "mat_roughness", "mat_emission",
                "color_atlas", "scalar_atlas", "spot_emission", "dir_emission")
 

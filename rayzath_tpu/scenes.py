@@ -300,8 +300,23 @@ def instanced_field(width: int = 512, height: int = 512,
     return w
 
 
+def cornell_box_nee(width: int = 512, height: int = 512) -> World:
+    """Cornell box with an explicit spot light at the lamp: the NEE-honest
+    headline config. Plain ``cornell_box`` is lit only by its emissive quad,
+    so its benchmark never pays shadow rays; the reference's benchmark loop
+    always does (Application/headless.cpp:207-246). This variant keeps the
+    emissive quad (dimmed) and adds a disk spot light just below it, so the
+    measured rays/s includes NEE + shadow traversal every bounce."""
+    w = cornell_box(width, height, light_emission=8.0)
+    w.create_spot_light(name="lamp light", position=(0.0, 0.97, 1.0),
+                        direction=(0.0, -1.0, 0.0), color=(1.0, 0.84, 0.6),
+                        size=0.3, emission=40.0, beam_angle=1.5)
+    return w
+
+
 SCENES = {
     "cornell_box": cornell_box,
+    "cornell_box_nee": cornell_box_nee,
     "teapot_like": teapot_like,
     "multi_light": multi_light,
     "glass_and_fog": glass_and_fog,

@@ -104,3 +104,117 @@ def test_training_step_descends():
     assert losses[-1] < losses[0] * 0.7, f"no descent: {losses}"
     # emission moved toward the dim target
     assert float(s.mat_emission[3]) < float(scene.mat_emission[3])
+
+
+def lit_world():
+    """Spot + direct light scene with a glossy floor and a blocker (shadow
+    rays cross real geometry)."""
+    w = rz.World()
+    floor_m = w.create_material("floor", color=(0.6, 0.6, 0.6, 1.0),
+                                roughness=0.3, metalness=0.2)
+    blocker_m = w.create_material("blocker", color=(0.8, 0.3, 0.2, 0.55))
+    plane = w.generate_mesh("plane", sides=4, width=6.0, height=6.0)
+    w.create_instance(name="floor", mesh=plane, materials=[floor_m])
+    cube = w.generate_mesh("cube")
+    from rayzath_tpu.utils.hostmath import Transform
+    w.create_instance(name="blocker", mesh=cube, materials=[blocker_m],
+                      transform=Transform(position=(0, 1.0, 0),
+                                          scale=(0.8, 0.2, 0.8)))
+    w.create_spot_light(position=(0.0, 3.0, 0.0), direction=(0, -1, 0),
+                        size=0.4, emission=30.0, beam_angle=1.2)
+    w.create_direct_light(direction=(-0.4, -1.0, 0.2), emission=5.0,
+                          angular_size=0.1)
+    cam = w.create_camera("cam", position=(0, 2.0, -4.0), resolution=(16, 16),
+                          aperture=0.01, exposure_time=1.0)
+    cam.look_at((0, 0.3, 0))
+    return w
+
+
+@pytest.mark.parametrize("param,idx,eps", [
+    ("spot_emission", 0, 1e-2),
+    ("dir_emission", 0, 1e-2),
+    ("mat_roughness", 2, 1e-3),   # floor material
+    ("mat_metalness", 2, 1e-3),
+])
+def test_grad_fd_lights_and_surface_params(param, idx, eps):
+    """FD validation for the remaining DIFF_PARAMS classes (VERDICT item 6):
+    light emissions and surface roughness/metalness."""
+    w = lit_world()
+    cfg = rz.RenderConfig(tracing=rz.Tracing(max_depth=3, rpp=4))
+    scene = compile_world(w)
+    cam = compile_camera(w.cameras[0])
+    state = init_state(16, 16)
+    key = jax.random.key(3)
+    target = jnp.zeros((16, 16, 3))
+
+    def loss_of(value):
+        arr = getattr(scene, param)
+        s = scene.replace(**{param: arr.at[idx].set(value)})
+        return image_loss(s, cam, cfg, state, key, target, 4)[0]
+
+    base = float(getattr(scene, param)[idx])
+    g = jax.grad(loss_of)(jnp.float32(base))
+    fd = (loss_of(base + eps) - loss_of(base - eps)) / (2 * eps)
+    assert np.isfinite(float(g))
+    assert float(g) != 0.0, f"{param} gradient unexpectedly zero"
+    assert float(g) == pytest.approx(float(fd), rel=0.07), (
+        f"{param}: analytic {float(g)} vs fd {float(fd)}")
+
+
+def test_grad_fd_atlas_texel():
+    """FD validation for a color-atlas texel (textures train through the
+    bilinear fetch)."""
+    w = rz.scenes.textured_room(16, 12)
+    cfg = rz.RenderConfig(tracing=rz.Tracing(max_depth=2, rpp=3))
+    scene = compile_world(w)
+    cam = compile_camera(w.cameras[0])
+    state = init_state(16, 12)
+    key = jax.random.key(9)
+    target = jnp.zeros((12, 16, 3))
+
+    def loss_of_atlas(atlas):
+        return image_loss(scene.replace(color_atlas=atlas), cam, cfg, state,
+                          key, target, 3)[0]
+
+    g = jax.grad(loss_of_atlas)(scene.color_atlas)
+    g_np = np.asarray(g)
+    assert np.isfinite(g_np).all()
+    assert np.abs(g_np).max() > 0
+    # FD on the single largest-gradient texel channel
+    iy, ix, ic = np.unravel_index(np.argmax(np.abs(g_np)), g_np.shape)
+    eps = 1e-2
+    up = scene.color_atlas.at[iy, ix, ic].add(eps)
+    dn = scene.color_atlas.at[iy, ix, ic].add(-eps)
+    fd = (loss_of_atlas(up) - loss_of_atlas(dn)) / (2 * eps)
+    assert float(g[iy, ix, ic]) == pytest.approx(float(fd), rel=0.05)
+
+
+def test_grad_fd_through_cluster_shadow_at_64px():
+    """FD check that crosses the cluster-shadow custom_vjp at 64^2 image
+    scale (VERDICT item 6): the blocker's alpha drives shadow transmission,
+    so dL/d(alpha) flows through cluster_shadow's dense replay backward."""
+    w = lit_world()
+    for c in w.cameras:
+        c.resolution = (64, 64)
+    cfg = rz.RenderConfig(tracing=rz.Tracing(max_depth=2, rpp=2)).with_(
+        brute_force_threshold=0)    # force the cluster kernels
+    scene = compile_world(w)
+    assert scene.cl_box is not None
+    cam = compile_camera(w.cameras[0])
+    state = init_state(64, 64)
+    key = jax.random.key(4)
+    target = jnp.zeros((64, 64, 3))
+    bi = 3  # blocker material index (world, default, floor, blocker)
+    assert abs(float(scene.mat_color[bi, 3]) - 0.55) < 1e-6
+
+    def loss_of(alpha):
+        s = scene.replace(mat_color=scene.mat_color.at[bi, 3].set(alpha))
+        return image_loss(s, cam, cfg, state, key, target, 3)[0]
+
+    base = 0.55
+    g = jax.grad(loss_of)(jnp.float32(base))
+    eps = 2e-3
+    fd = (loss_of(base + eps) - loss_of(base - eps)) / (2 * eps)
+    assert np.isfinite(float(g)) and float(g) != 0.0
+    assert float(g) == pytest.approx(float(fd), rel=0.05), (
+        f"alpha: analytic {float(g)} vs fd {float(fd)}")
