@@ -98,17 +98,23 @@ def material_fetch(scene: DeviceScene, mp, mat_id, texcrd) -> MatProps:
     maps = jnp.rint(row[:, 9:14]).astype(jnp.int32)
     if scene.has_maps:
         tex_id, nrm_id, met_id, rgh_id, emi_id = (maps[:, k] for k in range(5))
-        tex = tex_ops.fetch_scene(scene, tex_id, texcrd)
-        has_t = (tex_id >= 0)[:, None]
-        rgb = jnp.where(has_t, rgb * tex[:, :3], rgb)
-        alpha_op = jnp.where(tex_id >= 0, alpha_op * (1.0 - tex[:, 3]), alpha_op)
-        met_v = tex_ops.fetch_scene(scene, met_id, texcrd)[:, 0]
-        metal = jnp.where(met_id >= 0, met_v, metal)
-        rgh_v = tex_ops.fetch_scene(scene, rgh_id, texcrd)[:, 0]
-        rough = jnp.where(rgh_id >= 0, rgh_v, rough)
-        emi_v = tex_ops.fetch_scene(scene, emi_id, texcrd)[:, 0]
-        emis = jnp.where(emi_id >= 0, emis * emi_v, emis)
-        normal_map = nrm_id
+        used = scene.map_kinds_used  # static: skip whole fetch per kind
+        if used[0]:
+            tex = tex_ops.fetch_scene(scene, tex_id, texcrd)
+            has_t = (tex_id >= 0)[:, None]
+            rgb = jnp.where(has_t, rgb * tex[:, :3], rgb)
+            alpha_op = jnp.where(tex_id >= 0,
+                                 alpha_op * (1.0 - tex[:, 3]), alpha_op)
+        if used[2]:
+            met_v = tex_ops.fetch_scene(scene, met_id, texcrd)[:, 0]
+            metal = jnp.where(met_id >= 0, met_v, metal)
+        if used[3]:
+            rgh_v = tex_ops.fetch_scene(scene, rgh_id, texcrd)[:, 0]
+            rough = jnp.where(rgh_id >= 0, rgh_v, rough)
+        if used[4]:
+            emi_v = tex_ops.fetch_scene(scene, emi_id, texcrd)[:, 0]
+            emis = jnp.where(emi_id >= 0, emis * emi_v, emis)
+        normal_map = nrm_id if used[1] else jnp.full_like(mid, NO_MAP)
     else:
         normal_map = jnp.full_like(mid, NO_MAP)
     return MatProps(rgb, alpha_op, metal, rough, emis,

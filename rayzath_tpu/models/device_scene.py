@@ -159,6 +159,11 @@ class DeviceScene:
     n_direct_lights: int = struct.field(pytree_node=False, default=0)
     n_instances: int = struct.field(pytree_node=False, default=0)
     has_maps: bool = struct.field(pytree_node=False, default=False)
+    # which of (texture, normal, metalness, roughness, emission) any material
+    # actually references — static, so material_fetch skips whole atlas
+    # fetches for absent kinds (each costs an [R]-row gather per bounce)
+    map_kinds_used: tuple = struct.field(pytree_node=False,
+                                         default=(False,) * 5)
     n_cutout: int = struct.field(pytree_node=False, default=0)
     two_level: bool = struct.field(pytree_node=False, default=False)
 
@@ -510,6 +515,7 @@ def compile_world(world: World, leaf_size: int = 8,
     # ---- texture-alpha shadow cutout set (both modes) ----
     cut_fields = _cutout_fields(world, mat_index, mat_color, mat_maps)
     n_cutout = cut_fields.pop("n_cutout")
+    map_kinds_used = tuple(bool((mat_maps[:, k] >= 0).any()) for k in range(5))
 
     # ---- acceleration-structure mode ----
     live = [i for i in world.instances
@@ -539,7 +545,7 @@ def compile_world(world: World, leaf_size: int = 8,
             n_spot_lights=len(world.spot_lights),
             n_direct_lights=len(world.direct_lights),
             n_instances=len(world.instances),
-            has_maps=k > 0,
+            has_maps=k > 0, map_kinds_used=map_kinds_used,
             two_level=True,
         )
 
@@ -674,7 +680,7 @@ def compile_world(world: World, leaf_size: int = 8,
         n_spot_lights=len(world.spot_lights),
         n_direct_lights=len(world.direct_lights),
         n_instances=len(world.instances),
-        has_maps=k > 0,
+        has_maps=k > 0, map_kinds_used=map_kinds_used,
     )
 
 
