@@ -164,7 +164,7 @@ def _sort_traversal(cfg: RenderConfig, scene: DeviceScene) -> bool:
     otherwise enumerate hundreds of clusters (tools/visitstats.py)."""
     if cfg.ray_sort is not None:
         return cfg.ray_sort
-    n_cand = (scene.cu_rows.shape[0] if scene.two_level
+    n_cand = (scene.ti_rows.shape[0] if scene.two_level
               else (scene.cl_lw.shape[0] if scene.cl_lw is not None else 0))
     return n_cand >= 192
 
@@ -222,7 +222,8 @@ def closest_hit(scene: DeviceScene, cfg: RenderConfig, o, d, near, far,
         t, tid, inst = _run_coherent(
             cfg, hw, o, d, (near, far),
             lambda o, d, near, far: cluster_closest_inst(
-                o, d, near, far, scene.cu_box, scene.cu_rows, scene.cl_lw),
+                o, d, near, far, scene.ti_box, scene.ti_rows, scene.cl_obox,
+                scene.cl_lw),
             sort=_sort_traversal(cfg, scene))
         tp = gather_rows(scene.tri_pack, jnp.maximum(tid, 0))
         # object -> world (reference Instance transforms the ray instead,
@@ -362,9 +363,9 @@ def _shadow_core(scene: DeviceScene, cfg: RenderConfig, o, d, dist, hw=None):
         # stale, gradients flow to mat_color through the replay vjp
         def run(o, d, dist):
             return cluster_shadow_inst(
-                o, d, dist, scene.cu_box, scene.cu_rows, scene.cl_lw,
-                scene.u_inst, scene.u_slot, scene.cl_base, scene.cl_count,
-                scene.tri_slot, scene.inst_slot_map, scene.mat_color,
+                o, d, dist, scene.ti_box, scene.ti_rows, scene.cl_obox,
+                scene.cl_lw, scene.cl_slot, scene.tri_slot,
+                scene.inst_slot_map, scene.mat_color,
                 scene.tri_v0, scene.tri_e1, scene.tri_e2,
                 scene.exp_tri, scene.exp_inst, scene.inst_fwd)
 
@@ -402,7 +403,11 @@ def brdf_eval(d_in, mapped_normal, surface_scattering, roughness, alpha_op,
     n_dot_o = dot(mapped_normal, vpl)
     n_dot_i = dot(mapped_normal, -d_in)
     vh = halfway(d_in, vpl)
-    n_dot_h = dot(mapped_normal, vh)
+    # clip: both vectors are unit only to rsqrt accuracy, and on TPU the
+    # approximate rsqrt can push |n_dot_h| past 1.00005 — then b crosses
+    # zero for roughness 0 (mirrors) and ndf becomes inf, which turns the
+    # MIS weight vs_pdf/(vs_pdf + l_pdf) into NaN (observed on-chip)
+    n_dot_h = jnp.clip(dot(mapped_normal, vh), -1.0, 1.0)
     b = n_dot_h * n_dot_h * (roughness - 1.0) + 1.0001
     ndf = (roughness + 1e-5) / (b * b)
 

@@ -104,8 +104,11 @@ def _decode_old_rle(data: np.ndarray, p: int, rgbe: np.ndarray, y0: int,
     """Old-style Radiance RLE: a (1,1,1,count) pixel repeats the previous
     pixel; consecutive markers shift the count left 8 bits each (the
     encoding stb_image calls "old RLE"; previously misparsed as flat RGBE,
-    advisor finding). Decodes rows [y0, height) in place."""
-    prev = np.zeros(4, np.uint8)
+    advisor finding). Decodes rows [y0, height) in place. When the
+    flat->old-RLE handoff happens mid-image, the "previous pixel" seed is
+    the last pixel of the already-decoded scanline above (a leading run
+    marker must repeat it, not black)."""
+    prev = rgbe[y0 - 1, -1].copy() if y0 > 0 else np.zeros(4, np.uint8)
     shift = 0
     for y in range(y0, height):
         x = 0

@@ -116,6 +116,14 @@ class JsonLoader:
         if cached is not None and any(
                 cached is m for m in getattr(self.world, container)):
             self._register(kind, str(value.get("name", cached.name)), cached)
+            if kind == "Texture":
+                # an HDR texture carries a paired emission map: register it
+                # in THIS load's name table too, or materials referencing
+                # "<name> emission" fail to resolve on repeat loads
+                emi_cached = lset.get("EmissionMap", self.make_path(file))
+                if emi_cached is not None and any(
+                        emi_cached is m for m in self.world.emission_maps):
+                    self._register("EmissionMap", emi_cached.name, emi_cached)
             return cached
         hdr_emission = None
         try:
@@ -153,6 +161,7 @@ class JsonLoader:
                               **kwargs)
             self.world.emission_maps.create(emi)
             self._register("EmissionMap", emi.name, emi)
+            lset.add("EmissionMap", self.make_path(file), emi)
         return m
 
     # -- material (json_loader.cpp:190-392) ----------------------------------
@@ -660,8 +669,14 @@ class JsonSaver:
             fname = os.path.join("maps", f"{kind}_{h.hexdigest()[:10]}.png")
             if os.path.exists(os.path.join(self.base, fname)):
                 return fname
-        save_image(os.path.join(self.base, fname), data)
-        self._written.append(os.path.join(self.base, fname))
+        target = os.path.join(self.base, fname)
+        existed = os.path.exists(target)
+        save_image(target, data)
+        if not existed:
+            # rollback removes only files this save CREATED — deleting an
+            # overwritten pre-existing map would not restore it (advisor
+            # finding)
+            self._written.append(target)
         return fname
 
     def _save(self, options) -> None:

@@ -141,10 +141,10 @@ class DeviceScene:
     # units = (instance x object-space mesh cluster) with world AABBs;
     # cl_lw/cl_base/cl_count above hold the SHARED per-mesh cluster frames
     # (object space) in this mode
-    cu_box: Any = None          # [8,Up] lane-major unit AABB table
-    cu_rows: Any = None         # [Up,128] unit rows (AABB+slot+inst+inv)
-    u_inst: Any = None          # [U] i32 unit -> instance id
-    u_slot: Any = None          # [U] i32 unit -> mesh-cluster slot
+    ti_box: Any = None          # [8,Ip] lane-major instance world AABB table
+    ti_rows: Any = None         # [Ip,24] instance rows (AABB+inv+cl range)
+    cl_obox: Any = None         # [Cm,8] object-space cluster scalar rows
+    cl_slot: Any = None         # [Cm,ct] per-cluster triangle slot rows (f32)
     inst_fwd: Any = None        # [I,12] object->world 3x4 (row-major)
     inst_nrm: Any = None        # [I,9] normal matrix 3x3 (row-major)
     inst_slot_map: Any = None   # [I,64] i32 material slot -> global mat id
@@ -297,8 +297,9 @@ def _two_level_arrays(world: World, mat_index: dict) -> dict:
     TLAS/BLAS semantics, cuda_bvh.cuh:114-171 + cuda_instance.cuh:167-264,
     mapped onto the cluster traversal of ops/traverse_cluster.py)."""
     from ..ops.traverse_cluster import (build_cluster_tables,
-                                        build_unit_tables, _transform_aabb,
-                                        B_MIN, B_MAX)
+                                        build_instance_tables,
+                                        cluster_slot_rows, _transform_aabb,
+                                        B_MIN, B_MAX, B_BASE, B_CNT)
     meshes: list = []
     mesh_pos: dict[int, int] = {}
     valid: list[tuple[int, Any]] = []
@@ -346,7 +347,7 @@ def _two_level_arrays(world: World, mat_index: dict) -> dict:
     inst_slot_map = np.full((max(n_inst_total, 1), 64), DEFAULT_MATERIAL_ID,
                             np.int32)
 
-    u_min, u_max, u_slot, u_inst, u_base, u_cnt, u_inv = ([] for _ in range(7))
+    i_min, i_max, i_inv, i_cl0, i_ncl, i_gid = ([] for _ in range(6))
     exp_tri_parts, exp_inst_parts = [], []
     for gi, inst in valid:
         mi = mesh_pos[id(inst.mesh)]
@@ -358,46 +359,52 @@ def _two_level_arrays(world: World, mat_index: dict) -> dict:
                 inst_slot_map[gi, s_] = mat_index.get(id(mat),
                                                       DEFAULT_MATERIAL_ID)
         cmin, cmax = mesh_cmin[mi], mesh_cmax[mi]
+        # world AABB of the whole instance = union of its cluster boxes
+        wlo = np.full(3, 3e38, np.float32)
+        whi = np.full(3, -3e38, np.float32)
         for ci in range(len(cmin)):
             wmin, wmax = _transform_aabb(fwd, cmin[ci], cmax[ci])
-            u_min.append(wmin)
-            u_max.append(wmax)
-            u_slot.append(mesh_slot_base[mi] + ci)
-            u_inst.append(gi)
-            u_base.append(base_parts[mi][ci])
-            u_cnt.append(count_parts[mi][ci])
-            u_inv.append(inv)
+            wlo = np.minimum(wlo, wmin)
+            whi = np.maximum(whi, wmax)
+        i_min.append(wlo)
+        i_max.append(whi)
+        i_inv.append(inv)
+        i_cl0.append(mesh_slot_base[mi])
+        i_ncl.append(len(cmin))
+        i_gid.append(gi)
         ntri = inst.mesh.triangle_count
         exp_tri_parts.append(np.arange(ntri, dtype=np.int32)
                              + mesh_tri_base[mi])
         exp_inst_parts.append(np.full(ntri, gi, np.int32))
 
-    if u_slot:
-        cu_box, cu_rows = build_unit_tables(
-            np.asarray(u_min, np.float32), np.asarray(u_max, np.float32),
-            np.asarray(u_slot, np.int32), np.asarray(u_inst, np.int32),
-            np.asarray(u_base, np.int32), np.asarray(u_cnt, np.int32),
-            np.asarray(u_inv, np.float32))
-        u_inst_a = np.asarray(u_inst, np.int32)
-        u_slot_a = np.asarray(u_slot, np.int32)
+    if i_cl0:
+        ti_box, ti_rows = build_instance_tables(
+            np.asarray(i_min, np.float32), np.asarray(i_max, np.float32),
+            np.asarray(i_inv, np.float32), np.asarray(i_cl0, np.int32),
+            np.asarray(i_ncl, np.int32), np.asarray(i_gid, np.int32))
         exp_tri = np.concatenate(exp_tri_parts)
         exp_inst = np.concatenate(exp_inst_parts)
         cl_lw = np.concatenate(frames_parts)
         cl_base = np.concatenate(base_parts)
         cl_count = np.concatenate(count_parts)
+        cl_obox = np.zeros((len(cl_base), 8), np.float32)
+        cl_obox[:, B_MIN:B_MIN + 3] = np.concatenate(mesh_cmin)
+        cl_obox[:, B_MAX:B_MAX + 3] = np.concatenate(mesh_cmax)
+        cl_obox[:, B_BASE] = cl_base.astype(np.float32)
+        cl_obox[:, B_CNT] = cl_count.astype(np.float32)
     else:
-        cu_box, cu_rows = build_unit_tables(
+        ti_box, ti_rows = build_instance_tables(
             np.zeros((0, 3), np.float32), np.zeros((0, 3), np.float32),
-            np.zeros(0, np.int32), np.zeros(0, np.int32),
-            np.zeros(0, np.int32), np.zeros(0, np.int32),
-            np.zeros((0, 3, 4), np.float32))
-        u_inst_a = np.zeros(1, np.int32)
-        u_slot_a = np.zeros(1, np.int32)
+            np.zeros((0, 3, 4), np.float32), np.zeros(0, np.int32),
+            np.zeros(0, np.int32), np.zeros(0, np.int32))
         exp_tri = np.zeros(1, np.int32)
         exp_inst = np.zeros(1, np.int32)
         cl_lw = np.zeros((1, 4, 384), np.float32)
         cl_base = np.zeros(1, np.int32)
         cl_count = np.zeros(1, np.int32)
+        cl_obox = np.zeros((1, 8), np.float32)
+        cl_obox[:, B_MIN:B_MIN + 3] = 3e38
+        cl_obox[:, B_MAX:B_MAX + 3] = -3e38
 
     if tri_base:
         tri_v0, tri_e1, tri_e2, tri_n0, tri_n1, tri_n2, tri_t0, tri_t1, tri_t2 = (
@@ -446,10 +453,13 @@ def _two_level_arrays(world: World, mat_index: dict) -> dict:
         cl_lw=jnp.asarray(cl_lw),
         cl_base=jnp.asarray(cl_base),
         cl_count=jnp.asarray(cl_count),
-        cu_box=jnp.asarray(cu_box),
-        cu_rows=jnp.asarray(cu_rows),
-        u_inst=jnp.asarray(u_inst_a),
-        u_slot=jnp.asarray(u_slot_a),
+        ti_box=jnp.asarray(ti_box),
+        ti_rows=jnp.asarray(ti_rows),
+        cl_obox=jnp.asarray(cl_obox),
+        cl_slot=cluster_slot_rows(jnp.asarray(_pad_rows(tri_slot,
+                                                        n_tri_pad, 0)),
+                                  jnp.asarray(cl_base),
+                                  jnp.asarray(cl_count)),
         inst_fwd=jnp.asarray(inst_fwd),
         inst_nrm=jnp.asarray(inst_nrm),
         inst_slot_map=jnp.asarray(inst_slot_map),

@@ -69,7 +69,7 @@ RESIDENT_CLUSTERS = 1280  # 6 KB/cluster -> 7.5 MB VMEM at the cap
 # poison every rank. Anything >= INF_GATE is treated as unreachable.
 INF = np.float32(1e37)
 INF_GATE = np.float32(1e36)
-RANK_CHUNK = 128        # all-pairs rank row-chunk (bounds VMEM at [128, C])
+RANK_CHUNK = 256        # all-pairs rank row-chunk (bounds VMEM at [256, C])
 
 # box_tab sublane layout ([8, Cp] f32, clusters on lanes)
 B_MIN = 0               # rows 0..2: cluster AABB min xyz
@@ -101,35 +101,121 @@ def _frames_jnp(v0, e1, e2):
     return w, cc
 
 
-def _project_leaf(lw, o4, d4, near, limit):
-    """(t, valid) of <=CLUSTER_T cluster triangles against the block:
-    [CLUSTER_T, BLOCK] tiles from two MXU matmuls + fused elementwise."""
-    ct = CLUSTER_T
+def _split16(x):
+    """bf16 (hi, lo) decomposition: x == hi + lo to within f32 rounding."""
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _dot_split(a_pair, b_pair):
+    """f32-accurate contraction from four single-pass bf16 MXU products.
+
+    The MXU's DEFAULT f32 mode rounds operands to bf16 (measured: 17/221
+    brute-force hits missing at cluster edges), and HIGHEST runs 6 passes
+    (~3x whole-call cost on visit-bound scenes). bf16 inputs go through
+    the MXU losslessly, so (hi+lo)x(hi+lo) expanded into four bf16 dots
+    with f32 accumulation reconstructs the product to ~2^-23 — exact for
+    this use — at ~1/3 the HIGHEST pass count."""
+    a_hi, a_lo = a_pair
+    b_hi, b_lo = b_pair
     dims = (((0,), (0,)), ((), ()))
-    ol = jax.lax.dot_general(lw, o4, dims,
-                             preferred_element_type=jnp.float32)
-    dl = jax.lax.dot_general(lw, d4, dims,
-                             preferred_element_type=jnp.float32)
+
+    def d(a, b):
+        return jax.lax.dot_general(a, b, dims,
+                                   preferred_element_type=jnp.float32)
+
+    return ((d(a_hi, b_hi) + d(a_hi, b_lo))
+            + (d(a_lo, b_hi) + d(a_lo, b_lo)))
+
+
+def _dot_oh(oh16, vals, dims):
+    """Exact one-hot contraction: the one-hot factor is bf16-exact, the
+    f32 values ride through as a bf16 (hi, lo) pair (see _dot_split)."""
+    hi, lo = _split16(vals)
+    a = jax.lax.dot_general(oh16, hi, dims,
+                            preferred_element_type=jnp.float32)
+    b = jax.lax.dot_general(oh16, lo, dims,
+                            preferred_element_type=jnp.float32)
+    return a + b
+
+
+def _project_parts(lw, o4s_pair, d4_pair, near, limit=None):
+    """(t, valid) [CLUSTER_T, BLOCK] tiles of the cluster's triangles
+    against the block: split-bf16 MXU contractions + fused elementwise.
+    ``o4s_pair`` must hold CLUSTER-LOCAL ray origins (shifted by the
+    cluster's box center, whose offset the frame constants absorb at build
+    time): the local magnitudes keep the hi/lo expansion's f32 accumulation
+    error below ~1e-5 in barycentric units. The origin and direction
+    right-hand sides ride ONE widened contraction ([4, 2B]) — K = 4 dots
+    are MXU-latency-bound, so halving the dot count beats halving their
+    width."""
+    ct = CLUSTER_T
+    b = o4s_pair[0].shape[1]
+    rhs = (jnp.concatenate([o4s_pair[0], d4_pair[0]], axis=1),
+           jnp.concatenate([o4s_pair[1], d4_pair[1]], axis=1))
+    od = _dot_split(_split16(lw), rhs)                  # [3ct, 2B]
+    ol, dl = od[:, 0:b], od[:, b:]
     olx, oly, olz = ol[0:ct], ol[ct:2 * ct], ol[2 * ct:]
     dlx, dly, dlz = dl[0:ct], dl[ct:2 * ct], dl[2 * ct:]
+    # epsilon guard on the divide: a NaN/inf t from dlz == 0 relies on
+    # IEEE all-false comparisons to read as a miss, which Mosaic's vector
+    # compare/select does not guarantee (observed: NaN accum on-chip with
+    # the guard removed, while interpret mode stayed clean)
     dlz = dlz + jnp.where(jnp.abs(dlz) < DET_EPS, DET_EPS, 0.0)
-    t = -olz / dlz
+    t = olz / -dlz
+    vt = (t > near) if limit is None else ((t > near) & (t < limit))
     b1 = olx + t * dlx
     b2 = oly + t * dly
     valid = ((b1 >= 0.0) & (b1 <= 1.0) & (b2 >= 0.0) & (b1 + b2 <= 1.0)
-             & (t > near) & (t < limit))
+             & vt)
     return t, valid
+
+
+def _project_leaf(lw, o4s_pair, d4_pair, near):
+    """[CLUSTER_T, BLOCK] hit distances (BIG where invalid). The best-t
+    window check happens after the reduce (one [1, B] compare instead of a
+    [ct, B] compare + and): the reduced min is the nearest valid hit, so
+    comparing IT against best_t is equivalent."""
+    t, valid = _project_parts(lw, o4s_pair, d4_pair, near)
+    return jnp.where(valid, t, BIG)
+
+
+def _project_leaf_mask(lw, o4s_pair, d4_pair, limit):
+    """[CLUSTER_T, BLOCK] validity mask for the shadow product (t in
+    (0, limit))."""
+    _, valid = _project_parts(lw, o4s_pair, d4_pair, 0.0, limit)
+    return valid
+
+
+def _local_o4(ox, oy, oz, cx, cy, cz):
+    """Cluster-local homogeneous origin rows, pre-split to bf16 (hi, lo)."""
+    o4s = jnp.concatenate([ox - cx, oy - cy, oz - cz,
+                           jnp.ones_like(ox)], axis=0)
+    return _split16(o4s)
 
 
 def _prod_sublanes(x):
     """Product over the sublane axis of [CLUSTER_T, BLOCK] by halving
-    (static steps); Mosaic has no native multiply-reduce."""
+    (static steps); Mosaic has no native multiply-reduce.
+
+    Halving stops at 8 sublanes: offset slices below one (8, 128) register
+    tile hit a Mosaic mis-lowering (the same bug class crashes outright in
+    other shapes — 'vector_extract_strided_slice: limits 8 vs dim 1' — and
+    here silently produced NaN shadow masks on-chip). The last three levels
+    instead reshape sublanes onto lanes and multiply 128-aligned lane
+    slices, which lower cleanly."""
     n = x.shape[0]
-    while n > 1:
+    while n > 8:
         h = n // 2
         x = x[:h] * x[h:n]
         n = h
-    return x                                            # [1, BLOCK]
+    b = x.shape[1]
+    row = x.reshape(1, n * b)
+    out = row[:, 0:b]
+    for k in range(1, n):
+        out = out * row[:, k * b:(k + 1) * b]
+    return out                                          # [1, BLOCK]
 
 
 # ---------------------------------------------------------------------------
@@ -149,6 +235,9 @@ def build_cluster_tables(tri_v0, tri_e1, tri_e2, cluster_t: int = CLUSTER_T):
     tri_e1 = np.asarray(tri_e1, np.float32)
     tri_e2 = np.asarray(tri_e2, np.float32)
     t_count = len(tri_v0)
+    # triangle ids travel through the kernels as f32 (sub_id + base, miss
+    # sentinel 2^30): exact only below 2^24 triangles
+    assert t_count < 2 ** 24, "f32 triangle ids overflow at 2^24 triangles"
     pmin, pmax = triangle_aabbs(tri_v0, tri_v0 + tri_e1, tri_v0 + tri_e2)
     bvh = build_bvh(pmin, pmax, leaf_size=cluster_t)
     order = bvh.order if t_count else np.zeros(0, np.int32)
@@ -179,19 +268,35 @@ def build_cluster_tables(tri_v0, tri_e1, tri_e2, cluster_t: int = CLUSTER_T):
             box[B_MAX:B_MAX + 3, s] = bvh.node_max[node]
             box[B_BASE, s] = float(b)
             box[B_CNT, s] = float(n)
+            # the kernels evaluate frames against CLUSTER-LOCAL ray origins
+            # (o - box center): absorb the center into the constant term in
+            # f64 so the in-kernel split-bf16 contraction sees small, well-
+            # conditioned magnitudes (see _dot_split)
+            ctr = (bvh.node_min[node].astype(np.float64)
+                   + bvh.node_max[node].astype(np.float64)) * 0.5
             for a in range(3):                          # local coord part
                 cols = slice(a * t_count + b, a * t_count + b + n)
+                w_c = w_all[:, cols].astype(np.float64)
                 frames[s, 0:3, a * cluster_t:a * cluster_t + n] = w_all[:, cols]
-                frames[s, 3, a * cluster_t:a * cluster_t + n] = c_all[cols]
+                frames[s, 3, a * cluster_t:a * cluster_t + n] = (
+                    c_all[cols].astype(np.float64) + ctr @ w_c
+                ).astype(np.float32)
     return box, frames, order.astype(np.int32), base, count
 
 
 def box_rows(box_tab):
-    """Row-major twin of ``box_tab``: [Cp, 128] with the 8 per-cluster
-    scalars in lanes 0..7 of row c (dynamic sublane slices are the one
-    dynamic access Mosaic vectorizes well)."""
-    rows = jnp.transpose(box_tab)                       # [Cp, 8]
-    return jnp.pad(rows, ((0, 0), (0, 128 - rows.shape[1])))
+    """Row-major twin of ``box_tab``: [Cp, 8], fed to the kernels through
+    SMEM so per-visit scalar reads cost ~1 cycle instead of the ~100-cycle
+    VMEM lane extract (the round-3 kernels' dominant per-iteration cost)."""
+    return jnp.transpose(box_tab)                       # [Cp, 8]
+
+
+def _pad_lanes(box_tab, n: int = 128):
+    """Append ``n`` inverted-box padding lanes so the unrolled visit loop can
+    read one group past the last real rank without going out of bounds."""
+    pad = jnp.zeros((8, n), box_tab.dtype)
+    pad = pad.at[B_MIN:B_MIN + 3].set(3e38).at[B_MAX:B_MAX + 3].set(-3e38)
+    return jnp.concatenate([box_tab, pad], axis=1)
 
 
 def cluster_opacity(op_rgb, op_a, order, base, count,
@@ -267,73 +372,83 @@ def _cluster_dists(box_ref, ox, oy, oz, dx, dy, dz, valid_ray, t_cap):
     return jnp.where(feasible, tl, INF)
 
 
-def _rank_clusters(dist):
-    """[1, C] visit rank per cluster (0 = nearest) from the per-cluster
-    distance row, ties broken by index.
+def _visit_order(dist):
+    """[C, 2] visit list from the per-cluster distance row: row k holds
+    (candidate index with rank k, its distance) — rank 0 = nearest, ties by
+    index, INF lanes trail.
 
-    One all-pairs compare ([C, C] elementwise + a sublane reduction) replaces
-    a per-iteration ``argmin`` chain: measured on-chip, argmin+mask costs
-    ~0.6 us per visit step (a serial dependency), while rank extraction by
-    masked reduce costs ~0.1 us and leaves iterations independent. The
-    compare runs in row chunks inside a sequential fori_loop so the VMEM
-    working set stays [RANK_CHUNK, C] (an unrolled or single-shot [C, C]
-    table blows the 16 MB scoped-VMEM limit past ~2k candidates)."""
+    One fused all-pairs pass per 128-candidate chunk (static Python loop):
+    the chunk's distances become a column via an MXU one-hot transpose, the
+    [n, C] compare yields the chunk's ranks, and one-hot contractions
+    scatter (index, distance) into SUBLANE-major columns. The visit loop
+    then reads its per-iteration scalars with one dynamic sublane slice +
+    two lane extracts — the round-3 design paid ~2 us/iteration in masked
+    reduces for the same information (measured: cluster_closest on 720
+    clusters, incoherent rays, 367 ms). A VMEM->SMEM DMA staging of this
+    list read ~10x faster per scalar but miscomputed intermittently
+    depending on process history (NaN masks with bit-identical inputs), so
+    the list deliberately stays in VMEM."""
     c = dist.shape[1]
+    # bf16-quantize (round down) so every MXU product below is EXACT at
+    # DEFAULT precision: the one-hot factors are exact 0/1 and bf16 values
+    # survive the MXU's reduced-precision passes losslessly. Rounding DOWN
+    # keeps pdist a conservative lower bound (the early exits compare
+    # pd <= stop; a rounded-UP pd could skip a candidate that still holds a
+    # closer hit). The visit ORDER is then approximate at bf16 granularity,
+    # which only perturbs neighbors with near-equal culling distances.
+    fin = jnp.minimum(dist, INF)
+    down = jnp.where(fin > 0, fin * (1.0 - 2.0 ** -8), fin * (1.0 + 2.0 ** -8))
+    dist = down.astype(jnp.bfloat16).astype(jnp.float32)
     ci = jax.lax.broadcasted_iota(jnp.int32, (1, c), 1)
     n = min(RANK_CHUNK, c)
-
-    def chunk_rank(k, acc):
+    perm = jnp.zeros((c, 1), jnp.float32)
+    pdist = jnp.zeros((c, 1), jnp.float32)
+    dims = (((1,), (1,)), ((), ()))
+    col_dims = (((0,), (0,)), ((), ()))
+    for k in range(-(-c // n)):
         i0 = k * n
         ri = jax.lax.broadcasted_iota(jnp.int32, (n, c), 0) + i0
-        # chunk rows of dist as a column via the MXU-transpose trick
         sel = (jax.lax.broadcasted_iota(jnp.int32, (n, c), 1) == ri)
         dist_col = jax.lax.dot_general(
-            sel.astype(jnp.float32), dist, (((1,), (1,)), ((), ())),
+            sel.astype(jnp.float32), dist, dims,
             preferred_element_type=jnp.float32)          # [n, 1]
-        less = (dist_col < dist) | ((dist_col == dist) & (ri < ci))
-        return acc + jnp.sum(less.astype(jnp.float32), axis=0, keepdims=True)
-
-    acc = jnp.zeros((1, c), jnp.float32)
-    return jax.lax.fori_loop(0, -(-c // n), chunk_rank, acc)
-
-
-def _rank_extract(rank, k, value_rows):
-    """Per-row sum of values at the lane where ``rank == k`` (one masked
-    reduce per row; 0 if no such lane)."""
-    sel = rank == k
-    return [jnp.sum(jnp.where(sel, v, 0.0)) for v in value_rows]
-
-
-def _lane_iota(n):
-    return jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
-
-
-def _ray_rows4(o4, d4):
-    ox, oy, oz = o4[0:1, :], o4[1:2, :], o4[2:3, :]
-    dx, dy, dz = d4[0:1, :], d4[1:2, :], d4[2:3, :]
-    eps = 1e-12
-
-    def inv1(v):
-        return 1.0 / jnp.where(jnp.abs(v) < eps,
-                               jnp.where(v < 0, -eps, eps), v)
-
-    return ox, oy, oz, dx, dy, dz, inv1(dx), inv1(dy), inv1(dz)
+        # chunk rows past the table width would read a 0 distance and
+        # scatter out-of-range indices into the visit list (observed as an
+        # out-of-bounds read -> device fault when C % chunk != 0): force
+        # them to INF so their rank lands past every real lane
+        dist_col = jnp.where(ri[:, 0:1] < c, dist_col, INF)
+        beats_me = (dist < dist_col) | ((dist == dist_col) & (ci < ri))
+        rank_col = jnp.sum(beats_me.astype(jnp.float32), axis=1,
+                           keepdims=True)                # [n, 1]
+        # one-hot over rank lanes; bf16-exact factors keep every
+        # contraction below exact at the MXU's native pass
+        scat = (rank_col == ci.astype(jnp.float32)).astype(jnp.bfloat16)
+        idx_col = (jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+                   + i0).astype(jnp.float32)             # [n, 1]
+        ih, il = _split16(idx_col)
+        perm = perm + (jax.lax.dot_general(
+            scat, ih, col_dims, preferred_element_type=jnp.float32)
+            + jax.lax.dot_general(
+                scat, il, col_dims, preferred_element_type=jnp.float32))
+        pdist = pdist + jax.lax.dot_general(
+            scat, dist_col.astype(jnp.bfloat16), col_dims,
+            preferred_element_type=jnp.float32)
+    return jnp.concatenate([perm, pdist], axis=1)        # [c, 2]
 
 
-def _box_col(rows_ref, c):
-    """The 8 scalars of cluster ``c`` (from the row-major box table)."""
-    row = rows_ref[pl.ds(c, 1), :]                      # [1, 128]
-    return [row[0, k] for k in range(8)]
+def _r8(v):
+    """[1, BLOCK] row -> native [8, BLOCK // 8] register layout."""
+    return v.reshape(8, BLOCK // 8)
 
 
-def _ray_slab(col, ox, oy, oz, ix, iy, iz):
-    """Per-ray slab test of one cluster AABB (scalars from ``col``)."""
-    tx1 = (col[B_MIN + 0] - ox) * ix
-    ty1 = (col[B_MIN + 1] - oy) * iy
-    tz1 = (col[B_MIN + 2] - oz) * iz
-    tx2 = (col[B_MAX + 0] - ox) * ix
-    ty2 = (col[B_MAX + 1] - oy) * iy
-    tz2 = (col[B_MAX + 2] - oz) * iz
+def _slab8(bmin, bmax, o8, i8):
+    """Per-ray slab test of one AABB (6 scalars) in [8, 128] layout."""
+    tx1 = (bmin[0] - o8[0]) * i8[0]
+    ty1 = (bmin[1] - o8[1]) * i8[1]
+    tz1 = (bmin[2] - o8[2]) * i8[2]
+    tx2 = (bmax[0] - o8[0]) * i8[0]
+    ty2 = (bmax[1] - o8[1]) * i8[1]
+    tz2 = (bmax[2] - o8[2]) * i8[2]
     tmin = jnp.maximum(jnp.maximum(jnp.minimum(tx1, tx2),
                                    jnp.minimum(ty1, ty2)),
                        jnp.minimum(tz1, tz2))
@@ -343,14 +458,45 @@ def _ray_slab(col, ox, oy, oz, ix, iy, iz):
     return tmin, tmax
 
 
+def _min_tree(t, i):
+    """Joint (t, id) min over the sublane axis: native min, then min of ids
+    over the argmin rows (ties -> lowest id). A manual halving tree is ~25%
+    fewer ops but trips a Mosaic layout bug on sub-8-sublane offset slices
+    (vector_extract_strided_slice: limits 8 vs dim 1), so native reductions
+    it is."""
+    t_new = jnp.min(t, axis=0, keepdims=True)           # [1, BLOCK]
+    ids = jnp.where(t == t_new, i, _ID_BIG)
+    return t_new, jnp.min(ids, axis=0, keepdims=True)
+
+
+def _ray_rows4(o4, d4):
+    ox, oy, oz = o4[0:1, :], o4[1:2, :], o4[2:3, :]
+    dx, dy, dz = d4[0:1, :], d4[1:2, :], d4[2:3, :]
+    return ox, oy, oz, dx, dy, dz
+
+
+def _inv8(d8):
+    """Safe per-axis direction inverses in [8, 128] layout (1 vreg per op
+    instead of 8 for the [1, BLOCK] row form)."""
+    eps = 1e-12
+
+    def inv1(v):
+        return 1.0 / jnp.where(jnp.abs(v) < eps,
+                               jnp.where(v < 0, -eps, eps), v)
+
+    return tuple(inv1(v) for v in d8)
+
+
 CLIP_K = 32             # occupancy boxes per scene (kernel loop is unrolled)
 
 
 def clip_rows_jnp(box_tab, n_real: int):
-    """In-jit [CLIP_K, 8] occupancy boxes from the cluster/unit AABB table:
-    contiguous lane groups (build order is spatial) are unioned into at most
-    CLIP_K coarse boxes. Lives in SMEM inside the kernels (scalar feeds).
-    Padding rows keep inverted boxes."""
+    """In-jit [k, 8] occupancy boxes (k static, power of two <= CLIP_K) from
+    the cluster/unit AABB table: contiguous lane groups (build order is
+    spatial) are unioned into coarse boxes. Lives in SMEM inside the kernels
+    (scalar feeds); the kernel unrolls exactly k slab tests — the round-3
+    form always unrolled CLIP_K = 32, costing every block ~2 us of dead clip
+    tests on small scenes."""
     cp = box_tab.shape[1]
     k = 1
     while k < CLIP_K and k * 16 < n_real:
@@ -359,15 +505,10 @@ def clip_rows_jnp(box_tab, n_real: int):
     mins = jnp.min(box_tab[B_MIN:B_MIN + 3].reshape(3, k, g), axis=2)
     maxs = jnp.max(box_tab[B_MAX:B_MAX + 3].reshape(3, k, g), axis=2)
     rows = jnp.concatenate([mins, maxs], axis=0).T          # [k, 6]
-    rows = jnp.pad(rows, ((0, CLIP_K - k), (0, 2)))
-    # padding boxes: inverted so no slab test can pass
-    inv = jnp.concatenate([jnp.full((CLIP_K - k, 3), 3e38),
-                           jnp.full((CLIP_K - k, 3), -3e38),
-                           jnp.zeros((CLIP_K - k, 2))], axis=1)
-    return rows.at[k:].set(inv)
+    return jnp.pad(rows, ((0, 0), (0, 2)))
 
 
-def _occupancy_clip(clip_ref, ox, oy, oz, ix, iy, iz, near, far):
+def _occupancy_clip(clip_ref, o8, i8, near8, far8):
     """Clip per-ray ``far`` to the last exit from any occupancy box.
 
     Rays pointing at the sky (or skimming over the geometry) would
@@ -376,14 +517,8 @@ def _occupancy_clip(clip_ref, ox, oy, oz, ix, iy, iz, near, far):
     misses every occupancy box is excluded outright (far = -1). Runs in the
     native [8, 128] register layout — [1, BLOCK] rows waste 7/8 of each
     vreg's sublanes."""
-    def r8(v):
-        return v.reshape(8, BLOCK // 8)
-
-    o8 = (r8(ox), r8(oy), r8(oz))
-    i8 = (r8(ix), r8(iy), r8(iz))
-    near8, far8 = r8(near), r8(far)
     far_occ = jnp.full((8, BLOCK // 8), -1.0, jnp.float32)
-    for j in range(CLIP_K):
+    for j in range(clip_ref.shape[0]):
         col = [clip_ref[j, k] for k in range(6)]
         tx1 = (col[0] - o8[0]) * i8[0]
         ty1 = (col[1] - o8[1]) * i8[1]
@@ -400,17 +535,51 @@ def _occupancy_clip(clip_ref, ox, oy, oz, ix, iy, iz, near, far):
         hit = (tmax >= near8) & (tmin <= tmax) & (tmin <= far8)
         far_occ = jnp.where(hit, jnp.maximum(far_occ, tmax), far_occ)
     ok = (far_occ > 0.0) & (far8 > 0.0)
+    # cap before scaling: a degenerate ray can push an exit distance to inf,
+    # and inf * 1.0001 would let the raw (possibly f32-max) far through —
+    # which then exceeds even the INF padding distances and turns the
+    # front-to-back exit off entirely (observed: 192 visits/block on a
+    # 33-cluster scene)
+    far_occ = jnp.minimum(far_occ, BIG)
     out = jnp.where(ok, jnp.minimum(far8, far_occ * 1.0001 + 1e-4), -1.0)
     return out.reshape(1, BLOCK)
+
+
+def _ray_setup(o4, d4, near_row, far_row, clip_ref):
+    """Shared per-block ray prologue: [1, B] rows for the interval cull,
+    [8, 128] tuples for slab gates, occupancy-clipped far in both layouts."""
+    ox, oy, oz, dx, dy, dz = _ray_rows4(o4, d4)
+    o8 = (_r8(ox), _r8(oy), _r8(oz))
+    d8 = (_r8(dx), _r8(dy), _r8(dz))
+    i8 = _inv8(d8)
+    far = _occupancy_clip(clip_ref, o8, i8, _r8(near_row), _r8(far_row))
+    return (ox, oy, oz, dx, dy, dz), o8, i8, far
 
 
 def _frame_loader(streamed, lw_ref, scratch):
     if not streamed:
         return lambda slot: lw_ref[pl.ds(slot, 1), :, :][0]
-    buf, sem = scratch
+    buf, sem = scratch[1:3]
 
     def load(slot):
         dma = pltpu.make_async_copy(lw_ref.at[pl.ds(slot, 1)], buf, sem)
+        dma.start()
+        dma.wait()
+        return buf[0]
+    return load
+
+
+def _op_loader(streamed, op_ref, scratch):
+    """Per-visit [4, ct] opacity rows: resident VMEM reads, or (streamed)
+    DMA'd from HBM like the frames — keeping op_tab fully VMEM-resident past
+    RESIDENT_CLUSTERS added ~2 KB/cluster and broke the shadow pass's VMEM
+    budget around a few thousand clusters (advisor finding)."""
+    if not streamed:
+        return lambda slot: op_ref[pl.ds(slot, 1), :, :][0]
+    buf, sem = scratch[3:5]
+
+    def load(slot):
+        dma = pltpu.make_async_copy(op_ref.at[pl.ds(slot, 1)], buf, sem)
         dma.start()
         dma.wait()
         return buf[0]
@@ -422,65 +591,128 @@ def _frame_loader(streamed, lw_ref, scratch):
 # ---------------------------------------------------------------------------
 
 _ID_BIG = float(2 ** 30)
+UNROLL = 1              # candidates examined per visit-loop iteration
+# Measured (teapot bounce wavefront): removing the per-candidate slab gate
+# and visiting every ranked candidate is SLOWER (19.3 vs 16.9 ms/call) even
+# at 33 clusters — the gate's tmin <= best_t term keeps pruning candidates
+# as best_t shrinks mid-walk, which the front-to-back stop_t alone cannot.
+# The visit loop is therefore always gated.
+
+
+def _smem_col(box_smem, c):
+    """(bmin, bmax, base) of candidate ``c`` — 7 SMEM scalar reads."""
+    bmin = (box_smem[c, B_MIN], box_smem[c, B_MIN + 1], box_smem[c, B_MIN + 2])
+    bmax = (box_smem[c, B_MAX], box_smem[c, B_MAX + 1], box_smem[c, B_MAX + 2])
+    return bmin, bmax, box_smem[c, B_BASE]
+
+
+def _pad_frames(frames):
+    """Append one never-hit frame row (w = 0, c = (-1,-1,1): b1 = -1 for
+    every ray): the clamped visit reader sends any out-of-range candidate
+    here, making a spurious visit an exact no-op."""
+    ct = frames.shape[2] // 3
+    pad = jnp.zeros((1, 4, 3 * ct), frames.dtype)
+    pad = pad.at[0, 3, 0:ct].set(-1.0).at[0, 3, ct:2 * ct].set(-1.0)
+    pad = pad.at[0, 3, 2 * ct:].set(1.0)
+    return jnp.concatenate([frames, pad], axis=0)
+
+
+def _pad_ops(op_tab):
+    """Append one all-ones opacity row (multiplicative identity)."""
+    return jnp.concatenate(
+        [op_tab, jnp.ones((1,) + op_tab.shape[1:], op_tab.dtype)], axis=0)
+
+
+def _order_reader(pvm, order):
+    """Store the [C, 2] visit list in VMEM scratch; returns a reader
+    ``(k) -> (candidate f32, distance f32)`` using one dynamic sublane
+    slice + two static lane extracts (the round-3-proven access pattern;
+    see _visit_order on why this is not an SMEM DMA)."""
+    pvm[:, :] = jnp.pad(order, ((0, 0), (0, 128 - order.shape[1])))
+
+    def read(k):
+        row = pvm[pl.ds(k, 1), :]
+        return row[0, 0], row[0, 1]
+    return read
+
+
+def _clamp_c(c_f, n_pad: int):
+    """Candidate index hardened against a miscompiled visit gate: out-of-
+    range indices land on the tables' neutral pad row (observed on-chip:
+    a visit cond occasionally fired for INF-distance padding candidates
+    depending on process history, and the resulting out-of-bounds opacity
+    reads surfaced as NaN shadow masks with bit-identical inputs)."""
+    return jnp.clip(c_f.astype(jnp.int32), 0, n_pad)
 
 
 def _closest_kernel(n_clusters: int, streamed: bool):
-    def kern(box_ref, rows_ref, clip_ref, lw_ref, o4_ref, d4_ref, nf_ref,
+    unroll = UNROLL
+    def kern(box_ref, box_smem, clip_ref, lw_ref, o4_ref, d4_ref, nf_ref,
              t_ref, id_ref, *scratch):
+        cp = box_ref.shape[1]
+        pvm = scratch[0]
         o4 = o4_ref[:]
         d4 = d4_ref[:]
-        ox, oy, oz, dx, dy, dz, ix, iy, iz = _ray_rows4(o4, d4)
         near, far_in = nf_ref[0:1, :], nf_ref[1:2, :]
-        far = _occupancy_clip(clip_ref, ox, oy, oz, ix, iy, iz, near, far_in)
+        rows, o8, i8, far = _ray_setup(o4, d4, near, far_in, clip_ref)
+        ox, oy, oz, dx, dy, dz = rows
         valid_ray = far > 0.0
         load_frames = _frame_loader(streamed, lw_ref, scratch)
-        sub_ids = jax.lax.broadcasted_iota(
-            jnp.int32, (CLUSTER_T, BLOCK), 0).astype(jnp.float32)
+        near8 = _r8(near)
 
         t_cap = jnp.max(jnp.where(valid_ray, far, -1.0))
         dist0 = _cluster_dists(box_ref, ox, oy, oz, dx, dy, dz, valid_ray,
                                t_cap)
-        rank = _rank_clusters(dist0)
+        read_order = _order_reader(pvm, _visit_order(dist0))
+        sub_ids = jax.lax.broadcasted_iota(
+            jnp.int32, (CLUSTER_T, BLOCK), 0).astype(jnp.float32)
+        d4p = _split16(d4)
 
         def body(state):
-            k, best_t, best_id, _ = state
-            d_k, c_f = _rank_extract(rank, k, (dist0, _lane_iota(
-                dist0.shape[1]).astype(jnp.float32)))
-            c = c_f.astype(jnp.int32)
-            stop_t = jnp.max(jnp.minimum(best_t, far))
-            proceed = jnp.logical_and(d_k <= stop_t, d_k < INF_GATE)
-            col = _box_col(rows_ref, c)
-            tmin, tmax = _ray_slab(col, ox, oy, oz, ix, iy, iz)
-            rhit = ((tmax >= near) & (tmin <= tmax)
-                    & (tmin <= jnp.minimum(far, best_t)))
+            k, best_t, best_id, stop_t, _ = state
+            for u in range(unroll):
+                c_f, pd = read_order(k + u)
+                c = _clamp_c(c_f, n_clusters)   # n_clusters = pad row
+                base = box_smem[c, B_BASE]
+                bmin, bmax, _b = _smem_col(box_smem, c)
 
-            def visit(args):
-                best_t, best_id = args
-                lw = load_frames(c)
-                t, valid = _project_leaf(lw, o4, d4, near, best_t)
-                tm = jnp.where(valid, t, BIG)
-                t_new = jnp.min(tm, axis=0, keepdims=True)      # [1, B]
-                got = t_new < BIG * 0.5
-                ids = jnp.where(tm == t_new, sub_ids + col[B_BASE], _ID_BIG)
-                id_new = jnp.min(ids, axis=0, keepdims=True)
-                best_id = jnp.where(got, id_new, best_id)
-                best_t = jnp.where(got, t_new, best_t)
-                return best_t, best_id
+                def visit(args, c=c, base=base, bmin=bmin, bmax=bmax):
+                    best_t, best_id = args
+                    lw = load_frames(c)
+                    o4sp = _local_o4(ox, oy, oz,
+                                     (bmin[0] + bmax[0]) * 0.5,
+                                     (bmin[1] + bmax[1]) * 0.5,
+                                     (bmin[2] + bmax[2]) * 0.5)
+                    tm = _project_leaf(lw, o4sp, d4p, near)
+                    t_new, id_new = _min_tree(tm, sub_ids)
+                    got = t_new < best_t
+                    best_id = jnp.where(got, id_new + base, best_id)
+                    best_t = jnp.where(got, t_new, best_t)
+                    return best_t, best_id
 
-            best_t, best_id = jax.lax.cond(
-                jnp.logical_and(proceed, jnp.any(rhit)), visit, lambda a: a,
-                (best_t, best_id))
-            cont = jnp.logical_and(proceed, k + 1 < n_clusters)
-            return k + 1, best_t, best_id, cont
+                tmin8, tmax8 = _slab8(bmin, bmax, o8, i8)
+                bt8 = _r8(best_t)
+                rhit = (tmax8 >= near8) & (tmin8 <= tmax8) & (tmin8 <= bt8)
+                best_t, best_id = jax.lax.cond(
+                    (pd <= stop_t) & (pd < INF_GATE) & jnp.any(rhit),
+                    visit, lambda a: a, (best_t, best_id))
+            stop_t = jnp.max(best_t)
+            return (k + unroll, best_t, best_id, stop_t,
+                    read_order(k + unroll)[1])
 
         def cond(state):
-            return state[3]
+            k, _, _, stop_t, pd_next = state
+            # the INF_GATE term stops at padding/unreachable candidates even
+            # if stop_t is degenerate-large (reference r3 semantics)
+            return ((pd_next <= stop_t) & (pd_next < INF_GATE)
+                    & (k < cp - unroll))
 
-        _, best_t, best_id, _ = jax.lax.while_loop(
+        best_t0 = jnp.minimum(far, BIG)
+        _, best_t, best_id, _, _ = jax.lax.while_loop(
             cond, body,
-            (jnp.int32(0), jnp.minimum(far, BIG),
+            (jnp.int32(0), best_t0,
              jnp.full((1, BLOCK), -1.0, jnp.float32),
-             jnp.array(True)))
+             jnp.max(best_t0), read_order(0)[1]))
         t_ref[:] = best_t
         id_ref[:] = best_id
     return kern
@@ -491,65 +723,85 @@ def _closest_kernel(n_clusters: int, streamed: bool):
 # ---------------------------------------------------------------------------
 
 def _shadow_kernel(n_clusters: int, streamed: bool):
-    def kern(box_ref, rows_ref, clip_ref, lw_ref, op_ref, o4_ref, d4_ref,
+    unroll = UNROLL
+    def kern(box_ref, box_smem, clip_ref, lw_ref, op_ref, o4_ref, d4_ref,
              nf_ref, mr_ref, mg_ref, mb_ref, ma_ref, *scratch):
+        cp = box_ref.shape[1]
+        pvm = scratch[0]
         o4 = o4_ref[:]
         d4 = d4_ref[:]
-        ox, oy, oz, dx, dy, dz, ix, iy, iz = _ray_rows4(o4, d4)
         zero_row = jnp.zeros((1, BLOCK), jnp.float32)
-        dist_t = _occupancy_clip(clip_ref, ox, oy, oz, ix, iy, iz, zero_row,
-                                 nf_ref[0:1, :])
+        rows, o8, i8, dist_t = _ray_setup(o4, d4, zero_row, nf_ref[0:1, :],
+                                          clip_ref)
+        ox, oy, oz, dx, dy, dz = rows
         valid_ray = dist_t > 0.0
         load_frames = _frame_loader(streamed, lw_ref, scratch)
-        r128 = jax.lax.broadcasted_iota(jnp.int32, (CLUSTER_T, CLUSTER_T), 0)
-        c128 = jax.lax.broadcasted_iota(jnp.int32, (CLUSTER_T, CLUSTER_T), 1)
-        eye = (r128 == c128).astype(jnp.float32)
-        zero = zero_row
+        load_ops = _op_loader(streamed, op_ref, scratch)
+        dist8 = _r8(dist_t)
 
         t_cap = jnp.max(jnp.where(valid_ray, dist_t, -1.0))
         dist0 = _cluster_dists(box_ref, ox, oy, oz, dx, dy, dz, valid_ray,
                                t_cap)
-        rank = _rank_clusters(dist0)
+        read_order = _order_reader(pvm, _visit_order(dist0))
+        r128 = jax.lax.broadcasted_iota(jnp.int32, (CLUSTER_T, CLUSTER_T), 0)
+        c128 = jax.lax.broadcasted_iota(jnp.int32, (CLUSTER_T, CLUSTER_T), 1)
+        eye = (r128 == c128).astype(jnp.bfloat16)
+        d4p = _split16(d4)
 
         def body(state):
-            k, mr, mg, mb, ma, _ = state
-            d_k, c_f = _rank_extract(rank, k, (dist0, _lane_iota(
-                dist0.shape[1]).astype(jnp.float32)))
-            c = c_f.astype(jnp.int32)
-            proceed = jnp.logical_and(d_k < INF_GATE, jnp.max(ma) >= 1e-4)
-            col = _box_col(rows_ref, c)
-            tmin, tmax = _ray_slab(col, ox, oy, oz, ix, iy, iz)
-            rhit = ((tmax >= 0.0) & (tmin <= tmax) & (tmin <= dist_t)
-                    & (ma >= 1e-4))
+            k, mr, mg, mb, ma, stop_s, _ = state
+            ma8 = _r8(ma)
+            live8 = ma8 >= 1e-4
+            for u in range(unroll):
+                c_f, pd = read_order(k + u)
+                c = _clamp_c(c_f, n_clusters)   # n_clusters = pad row
+                bmin, bmax, _b = _smem_col(box_smem, c)
 
-            def visit(args):
-                mr, mg, mb, ma = args
-                lw = load_frames(c)
-                t, valid = _project_leaf(lw, o4, d4, zero, dist_t)
-                # [4, ct] rgba rows -> [ct, 4] columns via MXU transpose
-                oprows = op_ref[pl.ds(c, 1), :, :][0]
-                opc = jax.lax.dot_general(
-                    eye, oprows, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)          # [ct, 4]
-                mr = mr * _prod_sublanes(jnp.where(valid, opc[:, 0:1], 1.0))
-                mg = mg * _prod_sublanes(jnp.where(valid, opc[:, 1:2], 1.0))
-                mb = mb * _prod_sublanes(jnp.where(valid, opc[:, 2:3], 1.0))
-                ma = ma * _prod_sublanes(jnp.where(valid, opc[:, 3:4], 1.0))
-                return mr, mg, mb, ma
+                def visit(args, c=c, bmin=bmin, bmax=bmax):
+                    mr, mg, mb, ma = args
+                    lw = load_frames(c)
+                    o4sp = _local_o4(ox, oy, oz,
+                                     (bmin[0] + bmax[0]) * 0.5,
+                                     (bmin[1] + bmax[1]) * 0.5,
+                                     (bmin[2] + bmax[2]) * 0.5)
+                    valid = _project_leaf_mask(lw, o4sp, d4p, dist_t)
+                    # [4, ct] rgba rows -> [ct, 4] columns via MXU transpose
+                    oprows = load_ops(c)
+                    opc = _dot_oh(eye, oprows,
+                                  (((1,), (1,)), ((), ())))      # [ct, 4]
+                    mr = mr * _prod_sublanes(
+                        jnp.where(valid, opc[:, 0:1], 1.0))
+                    mg = mg * _prod_sublanes(
+                        jnp.where(valid, opc[:, 1:2], 1.0))
+                    mb = mb * _prod_sublanes(
+                        jnp.where(valid, opc[:, 2:3], 1.0))
+                    ma = ma * _prod_sublanes(
+                        jnp.where(valid, opc[:, 3:4], 1.0))
+                    return mr, mg, mb, ma
 
-            mr, mg, mb, ma = jax.lax.cond(
-                jnp.logical_and(proceed, jnp.any(rhit)), visit, lambda a: a,
-                (mr, mg, mb, ma))
-            cont = jnp.logical_and(proceed, k + 1 < n_clusters)
-            return k + 1, mr, mg, mb, ma, cont
+                tmin8, tmax8 = _slab8(bmin, bmax, o8, i8)
+                rhit = ((tmax8 >= 0.0) & (tmin8 <= tmax8)
+                        & (tmin8 <= dist8) & live8)
+                mr, mg, mb, ma = jax.lax.cond(
+                    (pd <= stop_s) & (pd < INF_GATE) & jnp.any(rhit),
+                    visit, lambda a: a, (mr, mg, mb, ma))
+            # candidates beyond every still-unblocked ray's segment end
+            # cannot change the result: cap the walk there (the round-3
+            # shadow kernel had no distance-based exit at all)
+            stop_s = jnp.max(jnp.where(_r8(ma) >= 1e-4, dist8, -1.0))
+            return (k + unroll, mr, mg, mb, ma, stop_s,
+                    read_order(k + unroll)[1])
 
         def cond(state):
-            return state[5]
+            k, _, _, _, _, stop_s, pd_next = state
+            return ((pd_next <= stop_s) & (pd_next < INF_GATE)
+                    & (k < cp - unroll))
 
         ones = jnp.ones((1, BLOCK), jnp.float32)
-        _, mr, mg, mb, ma, _ = jax.lax.while_loop(
+        _, mr, mg, mb, ma, _, _ = jax.lax.while_loop(
             cond, body,
-            (jnp.int32(0), ones, ones, ones, ones, jnp.array(True)))
+            (jnp.int32(0), ones, ones, ones, ones, t_cap,
+             read_order(0)[1]))
         mr_ref[:] = mr
         mg_ref[:] = mg
         mb_ref[:] = mb
@@ -569,12 +821,12 @@ def _ray_mats(v, last: float, rp: int):
     return m.T.reshape(4, rp // BLOCK, BLOCK).transpose(1, 0, 2)
 
 
-def _specs(streamed: bool, box_shape, lw_shape):
+def _specs(streamed: bool, box_shape, lw_shape, clip_k: int):
     box_spec = pl.BlockSpec(box_shape, lambda i: (0, 0),
                             memory_space=pltpu.VMEM)
-    rows_spec = pl.BlockSpec((box_shape[1], 128), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM)
-    clip_spec = pl.BlockSpec((CLIP_K, 8), lambda i: (0, 0),
+    rows_spec = pl.BlockSpec((box_shape[1], 8), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM)
+    clip_spec = pl.BlockSpec((clip_k, 8), lambda i: (0, 0),
                              memory_space=pltpu.SMEM)
     lw_spec = pl.BlockSpec(lw_shape, lambda i: (0, 0, 0),
                            memory_space=pl.ANY if streamed else pltpu.VMEM)
@@ -587,11 +839,19 @@ def _specs(streamed: bool, box_shape, lw_shape):
             out_spec)
 
 
-def _scratch(streamed: bool):
+def _scratch(streamed: bool, cp: int, with_op: bool = False):
+    # full 128-lane rows: dynamic row slices of a 2-lane-wide scratch are
+    # sub-tile accesses, which Mosaic mis-lowers (observed: garbage reads ->
+    # runaway visit loops); the r3-proven pattern is a [rows, 128] table
+    base = [pltpu.VMEM((cp, 128), jnp.float32)]
     if not streamed:
-        return []
-    return [pltpu.VMEM((1, 4, 3 * CLUSTER_T), jnp.float32),
-            pltpu.SemaphoreType.DMA]
+        return base
+    extra = [pltpu.VMEM((1, 4, 3 * CLUSTER_T), jnp.float32),
+             pltpu.SemaphoreType.DMA]
+    if with_op:
+        extra += [pltpu.VMEM((1, 4, CLUSTER_T), jnp.float32),
+                  pltpu.SemaphoreType.DMA]
+    return base + extra
 
 
 @jax.jit
@@ -599,6 +859,9 @@ def _cluster_closest_impl(origin, direction, near, far, box_tab, frames):
     R = origin.shape[0]
     n_clusters = frames.shape[0]
     streamed = n_clusters > RESIDENT_CLUSTERS
+    frames = _pad_frames(frames)
+    box_tab = _pad_lanes(box_tab)
+    cp = box_tab.shape[1]
     rp = ((R + BLOCK - 1) // BLOCK) * BLOCK
     nb = rp // BLOCK
     o4 = _ray_mats(origin, 1.0, rp)
@@ -606,13 +869,14 @@ def _cluster_closest_impl(origin, direction, near, far, box_tab, frames):
     nf = jnp.stack([jnp.pad(near, (0, rp - R)),
                     jnp.pad(far, (0, rp - R), constant_values=-1.0)], axis=0)
     nf_b = nf.reshape(2, nb, BLOCK).transpose(1, 0, 2)
+    clip = clip_rows_jnp(box_tab, n_clusters)
     (box_spec, rows_spec, clip_spec, lw_spec, ray_spec, nf_spec,
-     out_spec) = _specs(streamed, box_tab.shape, frames.shape)
+     out_spec) = _specs(streamed, box_tab.shape, frames.shape, clip.shape[0])
 
-    def kern(box_ref, rows_ref, clip_ref, lw_ref, o4_ref, d4_ref, nf_ref,
+    def kern(box_ref, box_smem, clip_ref, lw_ref, o4_ref, d4_ref, nf_ref,
              t_ref, id_ref, *scratch):
         inner = _closest_kernel(n_clusters, streamed)
-        inner(box_ref, rows_ref, clip_ref, lw_ref, o4_ref.at[0],
+        inner(box_ref, box_smem, clip_ref, lw_ref, o4_ref.at[0],
               d4_ref.at[0], nf_ref.at[0], t_ref.at[0], id_ref.at[0],
               *scratch)
 
@@ -624,10 +888,9 @@ def _cluster_closest_impl(origin, direction, near, far, box_tab, frames):
         in_specs=[box_spec, rows_spec, clip_spec, lw_spec, ray_spec,
                   ray_spec, nf_spec],
         out_specs=(out_spec, out_spec),
-        scratch_shapes=_scratch(streamed),
+        scratch_shapes=_scratch(streamed, cp),
         interpret=_interpret(),
-    )(box_tab, box_rows(box_tab), clip_rows_jnp(box_tab, n_clusters),
-      frames, o4, d4, nf_b)
+    )(box_tab, box_rows(box_tab), clip, frames, o4, d4, nf_b)
     return t.reshape(rp)[:R], tid.reshape(rp)[:R].astype(jnp.int32)
 
 
@@ -647,6 +910,10 @@ def _cluster_shadow_impl(origin, direction, dist, box_tab, frames, op_tab):
     R = origin.shape[0]
     n_clusters = frames.shape[0]
     streamed = n_clusters > RESIDENT_CLUSTERS
+    frames = _pad_frames(frames)
+    op_tab = _pad_ops(op_tab)
+    box_tab = _pad_lanes(box_tab)
+    cp = box_tab.shape[1]
     rp = ((R + BLOCK - 1) // BLOCK) * BLOCK
     nb = rp // BLOCK
     o4 = _ray_mats(origin, 1.0, rp)
@@ -654,16 +921,17 @@ def _cluster_shadow_impl(origin, direction, dist, box_tab, frames, op_tab):
     nf = jnp.stack([jnp.pad(dist, (0, rp - R), constant_values=-1.0),
                     jnp.zeros(rp, jnp.float32)], axis=0)
     nf_b = nf.reshape(2, nb, BLOCK).transpose(1, 0, 2)
+    clip = clip_rows_jnp(box_tab, n_clusters)
     (box_spec, rows_spec, clip_spec, lw_spec, ray_spec, nf_spec,
-     out_spec) = _specs(streamed, box_tab.shape, frames.shape)
+     out_spec) = _specs(streamed, box_tab.shape, frames.shape, clip.shape[0])
     op_spec = pl.BlockSpec(op_tab.shape, lambda i: (0, 0, 0),
-                           memory_space=pltpu.VMEM)
+                           memory_space=pl.ANY if streamed else pltpu.VMEM)
 
-    def kern(box_ref, rows_ref, clip_ref, lw_ref, op_ref, o4_ref, d4_ref,
+    def kern(box_ref, box_smem, clip_ref, lw_ref, op_ref, o4_ref, d4_ref,
              nf_ref, *rest):
         outs, scratch = rest[:4], rest[4:]
         inner = _shadow_kernel(n_clusters, streamed)
-        inner(box_ref, rows_ref, clip_ref, lw_ref, op_ref, o4_ref.at[0],
+        inner(box_ref, box_smem, clip_ref, lw_ref, op_ref, o4_ref.at[0],
               d4_ref.at[0], nf_ref.at[0], *[o.at[0] for o in outs],
               *scratch)
 
@@ -676,10 +944,9 @@ def _cluster_shadow_impl(origin, direction, dist, box_tab, frames, op_tab):
                   ray_spec, ray_spec, nf_spec],
         out_specs=tuple(pl.BlockSpec((1, 1, BLOCK), lambda i: (i, 0, 0))
                         for _ in range(4)),
-        scratch_shapes=_scratch(streamed),
+        scratch_shapes=_scratch(streamed, cp, with_op=True),
         interpret=_interpret(),
-    )(box_tab, box_rows(box_tab), clip_rows_jnp(box_tab, n_clusters),
-      frames, op_tab, o4, d4, nf_b)
+    )(box_tab, box_rows(box_tab), clip, frames, op_tab, o4, d4, nf_b)
     mr, mg, mb, ma = [x.reshape(rp)[:R] for x in outs]
     return jnp.stack([mr, mg, mb], axis=1), ma
 
@@ -726,28 +993,31 @@ cluster_shadow.defvjp(_cluster_shadow_fwd, _cluster_shadow_bwd)
 
 
 # ---------------------------------------------------------------------------
-# instanced (two-level) variant: units = (instance, mesh cluster)
+# instanced (two-level) variant: TLAS over instances, shared object-space BLAS
 # ---------------------------------------------------------------------------
 #
 # The reference's TLAS-over-instances + BLAS-per-mesh traversal
-# (cuda_bvh.cuh:114-171 + cuda_instance.cuh:167-264) maps onto the same flat
-# design: a UNIT is one (instance, object-space mesh cluster) pair with a
-# world-space AABB. The block cull/rank/visit loop is identical to the soup
-# kernels; a visit additionally transforms the block's rays into the unit's
-# object space (12 scalar FMAs per ray row — the object->world t metric is
-# preserved because the direction is transformed UNnormalized, so
-# T(o + t d) = T(o) + t L d). Mesh cluster frames are shared by all
-# instances of a mesh — geometry is never duplicated (the scaling property
-# the reference gets from its shared Cuda::Mesh BLAS).
+# (cuda_bvh.cuh:114-171 + cuda_instance.cuh:167-264) restructured for the
+# visit loop: the serial walk ranks INSTANCES (world AABB interval culling +
+# front-to-back order, like the soup kernels rank clusters), and a visited
+# instance transforms the block's rays into object space ONCE (12 FMAs per
+# ray row), then sweeps its mesh's clusters with object-space slab gates and
+# MXU projection visits. Mesh cluster frames/boxes are shared by all
+# instances of a mesh — geometry is never duplicated, and the rank domain is
+# |instances|, not |instances x clusters| (the round-3 unit table ranked
+# 3457 candidates for 145 instances and paid ~2 us per candidate).
 
-# u_rows lane layout ([Up, 128] f32, one row per unit)
-U_MIN = 0               # lanes 0..2: world AABB min
-U_MAX = 3               # lanes 3..5: world AABB max
-U_SLOT = 6              # mesh-cluster slot into the frames table
-U_INST = 7              # instance id
-U_BASE = 8              # first triangle (device order) of the cluster
-U_INV = 9               # lanes 9..20: world->object 3x4 (row-major)
-U_CNT = 21              # triangle count (0 = padding row)
+# ti_rows layout ([Ip, TI_W] f32 in SMEM, one row per instance)
+TI_MIN = 0              # 0..2: world AABB min
+TI_MAX = 3              # 3..5: world AABB max
+TI_INV = 6              # 6..17: world->object 3x4 (row-major)
+TI_CL0 = 18             # first mesh-cluster slot (shared cluster tables)
+TI_NCL = 19             # cluster count (0 = padding row)
+TI_ID = 20              # instance id
+TI_W = 24
+
+# cl_obox rows ([Cmp, 8] f32 in SMEM, one row per shared mesh cluster):
+# same layout as box_rows (B_MIN/B_MAX/B_BASE/B_CNT) in OBJECT space.
 
 
 def _transform_aabb(fwd, bmin, bmax):
@@ -760,196 +1030,287 @@ def _transform_aabb(fwd, bmin, bmax):
     return w.min(0), w.max(0)
 
 
-def build_unit_tables(wmin, wmax, slot, inst, tri_base, count, inv):
-    """Host build of the unit tables.
-
-    wmin/wmax [U,3] world AABBs; slot/inst/tri_base/count [U] i32;
-    inv [U,3,4] world->object transforms. Returns (u_box [8, Up] lane-major
-    — the layout :func:`_cluster_dists` expects — and u_rows [Up, 128])."""
-    u = len(slot)
-    up = max(128, -(-max(u, 1) // 128) * 128)
-    box = np.zeros((8, up), np.float32)
+def build_instance_tables(wmin, wmax, inv, cl0, ncl, inst_id):
+    """Host build of the TLAS tables: wmin/wmax [I,3] world AABBs,
+    inv [I,3,4] world->object, cl0/ncl [I] shared-cluster ranges, inst_id [I].
+    Returns (ti_box [8, Ip] lane-major for the interval cull,
+    ti_rows [Ip, TI_W] for SMEM scalar feeds)."""
+    i = len(cl0)
+    ip = max(128, -(-max(i, 1) // 128) * 128)
+    box = np.zeros((8, ip), np.float32)
     box[B_MIN:B_MIN + 3, :] = 3e38
     box[B_MAX:B_MAX + 3, :] = -3e38
-    rows = np.zeros((max(u, 1), 128), np.float32)
-    if u:
-        box[B_MIN:B_MIN + 3, :u] = wmin.T
-        box[B_MAX:B_MAX + 3, :u] = wmax.T
-        box[B_BASE, :u] = slot.astype(np.float32)
-        box[B_CNT, :u] = count.astype(np.float32)
-        rows[:u, U_MIN:U_MIN + 3] = wmin
-        rows[:u, U_MAX:U_MAX + 3] = wmax
-        rows[:u, U_SLOT] = slot.astype(np.float32)
-        rows[:u, U_INST] = inst.astype(np.float32)
-        rows[:u, U_BASE] = tri_base.astype(np.float32)
-        rows[:u, U_INV:U_INV + 12] = inv.reshape(u, 12)
-        rows[:u, U_CNT] = count.astype(np.float32)
+    rows = np.zeros((ip, TI_W), np.float32)
+    if i:
+        box[B_MIN:B_MIN + 3, :i] = wmin.T
+        box[B_MAX:B_MAX + 3, :i] = wmax.T
+        box[B_BASE, :i] = np.arange(i, dtype=np.float32)
+        box[B_CNT, :i] = ncl.astype(np.float32)
+        rows[:i, TI_MIN:TI_MIN + 3] = wmin
+        rows[:i, TI_MAX:TI_MAX + 3] = wmax
+        rows[:i, TI_INV:TI_INV + 12] = inv.reshape(i, 12)
+        rows[:i, TI_CL0] = cl0.astype(np.float32)
+        rows[:i, TI_NCL] = ncl.astype(np.float32)
+        rows[:i, TI_ID] = inst_id.astype(np.float32)
     return box, rows
 
 
-def unit_opacity(mat_color, inst_slot_map, tri_slot, u_inst, u_slot,
-                 cl_base, cl_count, cluster_t: int = CLUSTER_T):
-    """In-jit [U, 4, ct] per-unit rgba opacity: the unit's cluster triangles
-    resolved through ITS instance's material-slot table (live values —
-    material edits and training are never stale). Padding slots get 1."""
+def cluster_slot_rows(tri_slot, cl_base, cl_count,
+                      cluster_t: int = CLUSTER_T):
+    """[Cm, ct] per-cluster triangle material-SLOT rows (device order), for
+    the in-kernel opacity resolve of the instanced shadow walk. Padding
+    slots keep slot 0 (their projection rows never validate)."""
     ct = cluster_t
-    idx = cl_base[u_slot][:, None] + jnp.arange(ct)[None, :]        # [U,ct]
-    valid = jnp.arange(ct)[None, :] < cl_count[u_slot][:, None]
+    idx = cl_base[:, None] + jnp.arange(ct)[None, :]
+    valid = jnp.arange(ct)[None, :] < cl_count[:, None]
     idx = jnp.clip(idx, 0, max(tri_slot.shape[0] - 1, 0))
-    slot = tri_slot[idx]                                            # [U,ct]
-    mid = inst_slot_map[u_inst[:, None], slot]                      # [U,ct]
-    mc = mat_color[mid]                                             # [U,ct,4]
+    return jnp.where(valid, tri_slot[idx], 0).astype(jnp.float32)
+
+
+def instance_opacity(mat_color, inst_slot_map):
+    """In-jit [I, 4, 64] per-instance slot opacity (rgb, 1 - alpha) resolved
+    live from the material table — edits and training are never stale, and
+    the footprint is |instances| x 64 slots instead of the round-3
+    |units| x ct table the advisor flagged as a VMEM blowup."""
+    mc = mat_color[inst_slot_map]                       # [I,64,4]
     ops = jnp.concatenate([mc[..., :3], 1.0 - mc[..., 3:4]], axis=-1)
-    vals = jnp.where(valid[..., None], ops, 1.0)
-    return jnp.transpose(vals, (0, 2, 1))                           # [U,4,ct]
+    return jnp.transpose(ops, (0, 2, 1))                # [I,4,64]
 
 
-def _object_rays(row, ox, oy, oz, dx, dy, dz):
-    """Transform the block's world rays into a unit's object space and
-    repack as [4, B] projection matrices (offset row 1 for origins, 0 for
-    directions). ``row`` is the unit's [1, 128] u_rows slice."""
-    a = [row[0, U_INV + k] for k in range(12)]
+def _object_block(row_get, ox, oy, oz, dx, dy, dz):
+    """Transform the block's world rays into an instance's object space.
+
+    Returns ((oxl, oyl, ozl) rows for per-cluster local origins, the
+    split-bf16 [4,B] direction pair for the MXU projection, and [8,128]
+    triples o8l, i8l for slab gates). The object->world t metric is
+    preserved because the direction transforms UNnormalized:
+    T(o + t d) = T(o) + t L d."""
+    a = [row_get(TI_INV + k) for k in range(12)]
     oxl = a[0] * ox + a[1] * oy + a[2] * oz + a[3]
     oyl = a[4] * ox + a[5] * oy + a[6] * oz + a[7]
     ozl = a[8] * ox + a[9] * oy + a[10] * oz + a[11]
     dxl = a[0] * dx + a[1] * dy + a[2] * dz
     dyl = a[4] * dx + a[5] * dy + a[6] * dz
     dzl = a[8] * dx + a[9] * dy + a[10] * dz
-    one = jnp.ones_like(ox)
-    o4l = jnp.concatenate([oxl, oyl, ozl, one], axis=0)
     d4l = jnp.concatenate([dxl, dyl, dzl, jnp.zeros_like(ox)], axis=0)
-    return o4l, d4l
+    eps = 1e-12
+
+    def inv1(v):
+        return 1.0 / jnp.where(jnp.abs(v) < eps,
+                               jnp.where(v < 0, -eps, eps), v)
+
+    o8l = (_r8(oxl), _r8(oyl), _r8(ozl))
+    i8l = (_r8(inv1(dxl)), _r8(inv1(dyl)), _r8(inv1(dzl)))
+    return (oxl, oyl, ozl), _split16(d4l), o8l, i8l
 
 
-def _closest_kernel_inst(n_units: int, streamed: bool):
-    def kern(box_ref, rows_ref, clip_ref, lw_ref, o4_ref, d4_ref, nf_ref,
-             t_ref, id_ref, inst_ref, *scratch):
+def _cl_col(cl_smem, s):
+    bmin = (cl_smem[s, B_MIN], cl_smem[s, B_MIN + 1], cl_smem[s, B_MIN + 2])
+    bmax = (cl_smem[s, B_MAX], cl_smem[s, B_MAX + 1], cl_smem[s, B_MAX + 2])
+    return bmin, bmax, cl_smem[s, B_BASE]
+
+
+def _closest_kernel_inst(n_inst: int, streamed: bool):
+    def kern(box_ref, ti_smem, cl_smem, clip_ref, lw_ref, o4_ref, d4_ref,
+             nf_ref, t_ref, id_ref, inst_ref, *scratch):
+        ip = box_ref.shape[1]
+        pvm = scratch[0]
         o4 = o4_ref[:]
         d4 = d4_ref[:]
-        ox, oy, oz, dx, dy, dz, ix, iy, iz = _ray_rows4(o4, d4)
         near, far_in = nf_ref[0:1, :], nf_ref[1:2, :]
-        far = _occupancy_clip(clip_ref, ox, oy, oz, ix, iy, iz, near, far_in)
+        rows, o8, i8, far = _ray_setup(o4, d4, near, far_in, clip_ref)
+        ox, oy, oz, dx, dy, dz = rows
         valid_ray = far > 0.0
         load_frames = _frame_loader(streamed, lw_ref, scratch)
-        sub_ids = jax.lax.broadcasted_iota(
-            jnp.int32, (CLUSTER_T, BLOCK), 0).astype(jnp.float32)
+        near8 = _r8(near)
 
         t_cap = jnp.max(jnp.where(valid_ray, far, -1.0))
         dist0 = _cluster_dists(box_ref, ox, oy, oz, dx, dy, dz, valid_ray,
                                t_cap)
-        rank = _rank_clusters(dist0)
+        read_order = _order_reader(pvm, _visit_order(dist0))
+        sub_ids = jax.lax.broadcasted_iota(
+            jnp.int32, (CLUSTER_T, BLOCK), 0).astype(jnp.float32)
 
         def body(state):
-            k, best_t, best_id, best_inst, _ = state
-            d_k, c_f = _rank_extract(rank, k, (dist0, _lane_iota(
-                dist0.shape[1]).astype(jnp.float32)))
-            c = c_f.astype(jnp.int32)
-            stop_t = jnp.max(jnp.minimum(best_t, far))
-            proceed = jnp.logical_and(d_k <= stop_t, d_k < INF_GATE)
-            row = rows_ref[pl.ds(c, 1), :]
-            col = [row[0, j] for j in range(8)]
-            tmin, tmax = _ray_slab(col, ox, oy, oz, ix, iy, iz)
-            rhit = ((tmax >= near) & (tmin <= tmax)
-                    & (tmin <= jnp.minimum(far, best_t)))
+            k, best_t, best_id, best_inst, stop_t, _ = state
+            c_f, pd = read_order(k)
+            c = _clamp_c(c_f, ip - 1)   # padded ti rows are zeros: ncl = 0
+            bmin = (ti_smem[c, TI_MIN], ti_smem[c, TI_MIN + 1],
+                    ti_smem[c, TI_MIN + 2])
+            bmax = (ti_smem[c, TI_MAX], ti_smem[c, TI_MAX + 1],
+                    ti_smem[c, TI_MAX + 2])
+            tmin8, tmax8 = _slab8(bmin, bmax, o8, i8)
+            rhit = (tmax8 >= near8) & (tmin8 <= tmax8) & (tmin8 <= _r8(best_t))
 
             def visit(args):
                 best_t, best_id, best_inst = args
-                o4l, d4l = _object_rays(row, ox, oy, oz, dx, dy, dz)
-                slot = row[0, U_SLOT].astype(jnp.int32)
-                lw = load_frames(slot)
-                t, valid = _project_leaf(lw, o4l, d4l, near, best_t)
-                tm = jnp.where(valid, t, BIG)
-                t_new = jnp.min(tm, axis=0, keepdims=True)      # [1, B]
-                got = t_new < BIG * 0.5
-                ids = jnp.where(tm == t_new, sub_ids + row[0, U_BASE],
-                                _ID_BIG)
-                id_new = jnp.min(ids, axis=0, keepdims=True)
-                best_id = jnp.where(got, id_new, best_id)
-                best_inst = jnp.where(got, row[0, U_INST], best_inst)
-                best_t = jnp.where(got, t_new, best_t)
-                return best_t, best_id, best_inst
+                orows, d4lp, o8l, i8l = _object_block(
+                    lambda j: ti_smem[c, j], ox, oy, oz, dx, dy, dz)
+                cl0 = ti_smem[c, TI_CL0].astype(jnp.int32)
+                ncl = ti_smem[c, TI_NCL].astype(jnp.int32)
+                gid = ti_smem[c, TI_ID]
+
+                def inner(j, args):
+                    best_t, best_id, best_inst = args
+                    s = cl0 + j
+                    cmin, cmax, base = _cl_col(cl_smem, s)
+                    ctmin8, ctmax8 = _slab8(cmin, cmax, o8l, i8l)
+                    chit = ((ctmax8 >= near8) & (ctmin8 <= ctmax8)
+                            & (ctmin8 <= _r8(best_t)))
+
+                    def cvisit(args, s=s, base=base, cmin=cmin, cmax=cmax):
+                        best_t, best_id, best_inst = args
+                        lw = load_frames(s)
+                        o4sp = _local_o4(*orows,
+                                         (cmin[0] + cmax[0]) * 0.5,
+                                         (cmin[1] + cmax[1]) * 0.5,
+                                         (cmin[2] + cmax[2]) * 0.5)
+                        tm = _project_leaf(lw, o4sp, d4lp, near)
+                        t_new, id_new = _min_tree(tm, sub_ids)
+                        got = t_new < best_t
+                        best_id = jnp.where(got, id_new + base, best_id)
+                        best_inst = jnp.where(got, gid, best_inst)
+                        best_t = jnp.where(got, t_new, best_t)
+                        return best_t, best_id, best_inst
+
+                    return jax.lax.cond(jnp.any(chit), cvisit, lambda a: a,
+                                        (best_t, best_id, best_inst))
+
+                return jax.lax.fori_loop(0, ncl, inner,
+                                         (best_t, best_id, best_inst))
 
             best_t, best_id, best_inst = jax.lax.cond(
-                jnp.logical_and(proceed, jnp.any(rhit)), visit, lambda a: a,
-                (best_t, best_id, best_inst))
-            cont = jnp.logical_and(proceed, k + 1 < n_units)
-            return k + 1, best_t, best_id, best_inst, cont
+                (pd <= stop_t) & (pd < INF_GATE) & jnp.any(rhit),
+                visit, lambda a: a, (best_t, best_id, best_inst))
+            stop_t = jnp.max(best_t)
+            return (k + 1, best_t, best_id, best_inst, stop_t,
+                    read_order(k + 1)[1])
 
         def cond(state):
-            return state[4]
+            k, _, _, _, stop_t, pd_next = state
+            return ((pd_next <= stop_t) & (pd_next < INF_GATE)
+                    & (k < ip - 1))
 
-        _, best_t, best_id, best_inst, _ = jax.lax.while_loop(
+        best_t0 = jnp.minimum(far, BIG)
+        _, best_t, best_id, best_inst, _, _ = jax.lax.while_loop(
             cond, body,
-            (jnp.int32(0), jnp.minimum(far, BIG),
+            (jnp.int32(0), best_t0,
              jnp.full((1, BLOCK), -1.0, jnp.float32),
              jnp.full((1, BLOCK), -1.0, jnp.float32),
-             jnp.array(True)))
+             jnp.max(best_t0), read_order(0)[1]))
         t_ref[:] = best_t
         id_ref[:] = best_id
         inst_ref[:] = best_inst
     return kern
 
 
-def _shadow_kernel_inst(n_units: int, streamed: bool):
-    def kern(box_ref, rows_ref, clip_ref, lw_ref, op_ref, o4_ref, d4_ref,
-             nf_ref, mr_ref, mg_ref, mb_ref, ma_ref, *scratch):
+def _shadow_kernel_inst(n_inst: int, streamed: bool):
+    def kern(box_ref, ti_smem, cl_smem, clip_ref, lw_ref, scl_ref, op_ref,
+             o4_ref, d4_ref, nf_ref, mr_ref, mg_ref, mb_ref, ma_ref,
+             *scratch):
+        ip = box_ref.shape[1]
+        pvm = scratch[0]
         o4 = o4_ref[:]
         d4 = d4_ref[:]
-        ox, oy, oz, dx, dy, dz, ix, iy, iz = _ray_rows4(o4, d4)
         zero_row = jnp.zeros((1, BLOCK), jnp.float32)
-        dist_t = _occupancy_clip(clip_ref, ox, oy, oz, ix, iy, iz, zero_row,
-                                 nf_ref[0:1, :])
+        rows, o8, i8, dist_t = _ray_setup(o4, d4, zero_row, nf_ref[0:1, :],
+                                          clip_ref)
+        ox, oy, oz, dx, dy, dz = rows
         valid_ray = dist_t > 0.0
         load_frames = _frame_loader(streamed, lw_ref, scratch)
-        r128 = jax.lax.broadcasted_iota(jnp.int32, (CLUSTER_T, CLUSTER_T), 0)
-        c128 = jax.lax.broadcasted_iota(jnp.int32, (CLUSTER_T, CLUSTER_T), 1)
-        eye = (r128 == c128).astype(jnp.float32)
+        ct = CLUSTER_T
+        dist8 = _r8(dist_t)
 
         t_cap = jnp.max(jnp.where(valid_ray, dist_t, -1.0))
         dist0 = _cluster_dists(box_ref, ox, oy, oz, dx, dy, dz, valid_ray,
                                t_cap)
-        rank = _rank_clusters(dist0)
+        read_order = _order_reader(pvm, _visit_order(dist0))
+        eye = (jax.lax.broadcasted_iota(jnp.int32, (ct, ct), 0)
+               == jax.lax.broadcasted_iota(jnp.int32, (ct, ct), 1)
+               ).astype(jnp.bfloat16)
+        slot64 = jax.lax.broadcasted_iota(jnp.int32, (ct, 64),
+                                          1).astype(jnp.float32)
 
         def body(state):
-            k, mr, mg, mb, ma, _ = state
-            d_k, c_f = _rank_extract(rank, k, (dist0, _lane_iota(
-                dist0.shape[1]).astype(jnp.float32)))
-            c = c_f.astype(jnp.int32)
-            proceed = jnp.logical_and(d_k < INF_GATE, jnp.max(ma) >= 1e-4)
-            row = rows_ref[pl.ds(c, 1), :]
-            col = [row[0, j] for j in range(8)]
-            tmin, tmax = _ray_slab(col, ox, oy, oz, ix, iy, iz)
-            rhit = ((tmax >= 0.0) & (tmin <= tmax) & (tmin <= dist_t)
-                    & (ma >= 1e-4))
+            k, mr, mg, mb, ma, stop_s, _ = state
+            c_f, pd = read_order(k)
+            c = _clamp_c(c_f, ip - 1)   # padded ti rows are zeros: ncl = 0
+            bmin = (ti_smem[c, TI_MIN], ti_smem[c, TI_MIN + 1],
+                    ti_smem[c, TI_MIN + 2])
+            bmax = (ti_smem[c, TI_MAX], ti_smem[c, TI_MAX + 1],
+                    ti_smem[c, TI_MAX + 2])
+            tmin8, tmax8 = _slab8(bmin, bmax, o8, i8)
+            rhit = ((tmax8 >= 0.0) & (tmin8 <= tmax8) & (tmin8 <= dist8)
+                    & (_r8(ma) >= 1e-4))
 
             def visit(args):
                 mr, mg, mb, ma = args
-                o4l, d4l = _object_rays(row, ox, oy, oz, dx, dy, dz)
-                lw = load_frames(row[0, U_SLOT].astype(jnp.int32))
-                t, valid = _project_leaf(lw, o4l, d4l, zero_row, dist_t)
-                oprows = op_ref[pl.ds(c, 1), :, :][0]
-                opc = jax.lax.dot_general(
-                    eye, oprows, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)          # [ct, 4]
-                mr = mr * _prod_sublanes(jnp.where(valid, opc[:, 0:1], 1.0))
-                mg = mg * _prod_sublanes(jnp.where(valid, opc[:, 1:2], 1.0))
-                mb = mb * _prod_sublanes(jnp.where(valid, opc[:, 2:3], 1.0))
-                ma = ma * _prod_sublanes(jnp.where(valid, opc[:, 3:4], 1.0))
-                return mr, mg, mb, ma
+                orows, d4lp, o8l, i8l = _object_block(
+                    lambda j: ti_smem[c, j], ox, oy, oz, dx, dy, dz)
+                cl0 = ti_smem[c, TI_CL0].astype(jnp.int32)
+                ncl = ti_smem[c, TI_NCL].astype(jnp.int32)
+                gid = ti_smem[c, TI_ID].astype(jnp.int32)
+                opi = op_ref[pl.ds(gid, 1), :, :][0]              # [4, 64]
+
+                def inner(j, args):
+                    mr, mg, mb, ma = args
+                    s = cl0 + j
+                    cmin, cmax, _base = _cl_col(cl_smem, s)
+                    ctmin8, ctmax8 = _slab8(cmin, cmax, o8l, i8l)
+                    chit = ((ctmax8 >= 0.0) & (ctmin8 <= ctmax8)
+                            & (ctmin8 <= dist8) & (_r8(ma) >= 1e-4))
+
+                    def cvisit(args, s=s, cmin=cmin, cmax=cmax):
+                        mr, mg, mb, ma = args
+                        lw = load_frames(s)
+                        o4sp = _local_o4(*orows,
+                                         (cmin[0] + cmax[0]) * 0.5,
+                                         (cmin[1] + cmax[1]) * 0.5,
+                                         (cmin[2] + cmax[2]) * 0.5)
+                        valid = _project_leaf_mask(lw, o4sp, d4lp, dist_t)
+                        # slot row -> [ct, 1] column -> one-hot -> [ct, 4]
+                        srow = scl_ref[pl.ds(s, 1), :]            # [1, ct]
+                        # slot ids are small ints (bf16-exact either way);
+                        # an all-f32 matvec avoids a Mosaic bf16->f32
+                        # broadcast crash in the non-MXU lowering
+                        scol = jax.lax.dot_general(
+                            eye.astype(jnp.float32), srow,
+                            (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)   # [ct, 1]
+                        oh = (scol == slot64).astype(jnp.bfloat16)  # [ct, 64]
+                        opc = _dot_oh(oh, opi,
+                                      (((1,), (1,)), ((), ())))   # [ct, 4]
+                        mr = mr * _prod_sublanes(
+                            jnp.where(valid, opc[:, 0:1], 1.0))
+                        mg = mg * _prod_sublanes(
+                            jnp.where(valid, opc[:, 1:2], 1.0))
+                        mb = mb * _prod_sublanes(
+                            jnp.where(valid, opc[:, 2:3], 1.0))
+                        ma = ma * _prod_sublanes(
+                            jnp.where(valid, opc[:, 3:4], 1.0))
+                        return mr, mg, mb, ma
+
+                    return jax.lax.cond(jnp.any(chit), cvisit, lambda a: a,
+                                        (mr, mg, mb, ma))
+
+                return jax.lax.fori_loop(0, ncl, inner, (mr, mg, mb, ma))
 
             mr, mg, mb, ma = jax.lax.cond(
-                jnp.logical_and(proceed, jnp.any(rhit)), visit, lambda a: a,
-                (mr, mg, mb, ma))
-            cont = jnp.logical_and(proceed, k + 1 < n_units)
-            return k + 1, mr, mg, mb, ma, cont
+                (pd <= stop_s) & (pd < INF_GATE) & jnp.any(rhit),
+                visit, lambda a: a, (mr, mg, mb, ma))
+            stop_s = jnp.max(jnp.where(_r8(ma) >= 1e-4, dist8, -1.0))
+            return k + 1, mr, mg, mb, ma, stop_s, read_order(k + 1)[1]
 
         def cond(state):
-            return state[5]
+            k, _, _, _, _, stop_s, pd_next = state
+            return ((pd_next <= stop_s) & (pd_next < INF_GATE)
+                    & (k < ip - 1))
 
         ones = jnp.ones((1, BLOCK), jnp.float32)
-        _, mr, mg, mb, ma, _ = jax.lax.while_loop(
+        _, mr, mg, mb, ma, _, _ = jax.lax.while_loop(
             cond, body,
-            (jnp.int32(0), ones, ones, ones, ones, jnp.array(True)))
+            (jnp.int32(0), ones, ones, ones, ones, t_cap,
+             read_order(0)[1]))
         mr_ref[:] = mr
         mg_ref[:] = mg
         mb_ref[:] = mb
@@ -957,12 +1318,19 @@ def _shadow_kernel_inst(n_units: int, streamed: bool):
     return kern
 
 
+def _pad_ti(ti_box, ti_rows):
+    box = _pad_lanes(ti_box)
+    rows = jnp.pad(ti_rows, ((0, box.shape[1] - ti_rows.shape[0]), (0, 0)))
+    return box, rows
+
+
 @jax.jit
-def _cluster_closest_inst_impl(origin, direction, near, far, u_box, u_rows,
-                               frames):
+def _cluster_closest_inst_impl(origin, direction, near, far, ti_box, ti_rows,
+                               cl_obox, frames):
     R = origin.shape[0]
-    n_units = u_rows.shape[0]
+    n_inst = ti_rows.shape[0]
     streamed = frames.shape[0] > RESIDENT_CLUSTERS
+    ti_box, ti_rows = _pad_ti(ti_box, ti_rows)
     rp = ((R + BLOCK - 1) // BLOCK) * BLOCK
     nb = rp // BLOCK
     o4 = _ray_mats(origin, 1.0, rp)
@@ -970,15 +1338,18 @@ def _cluster_closest_inst_impl(origin, direction, near, far, u_box, u_rows,
     nf = jnp.stack([jnp.pad(near, (0, rp - R)),
                     jnp.pad(far, (0, rp - R), constant_values=-1.0)], axis=0)
     nf_b = nf.reshape(2, nb, BLOCK).transpose(1, 0, 2)
+    clip = clip_rows_jnp(ti_box, n_inst)
     (box_spec, _, clip_spec, lw_spec, ray_spec, nf_spec,
-     out_spec) = _specs(streamed, u_box.shape, frames.shape)
-    rows_spec = pl.BlockSpec(u_rows.shape, lambda i: (0, 0),
-                             memory_space=pltpu.VMEM)
+     out_spec) = _specs(streamed, ti_box.shape, frames.shape, clip.shape[0])
+    ti_spec = pl.BlockSpec(ti_rows.shape, lambda i: (0, 0),
+                           memory_space=pltpu.SMEM)
+    cl_spec = pl.BlockSpec(cl_obox.shape, lambda i: (0, 0),
+                           memory_space=pltpu.SMEM)
 
-    def kern(box_ref, rows_ref, clip_ref, lw_ref, o4_ref, d4_ref, nf_ref,
-             t_ref, id_ref, inst_ref, *scratch):
-        inner = _closest_kernel_inst(n_units, streamed)
-        inner(box_ref, rows_ref, clip_ref, lw_ref, o4_ref.at[0],
+    def kern(box_ref, ti_smem, cl_smem, clip_ref, lw_ref, o4_ref, d4_ref,
+             nf_ref, t_ref, id_ref, inst_ref, *scratch):
+        inner = _closest_kernel_inst(n_inst, streamed)
+        inner(box_ref, ti_smem, cl_smem, clip_ref, lw_ref, o4_ref.at[0],
               d4_ref.at[0], nf_ref.at[0], t_ref.at[0], id_ref.at[0],
               inst_ref.at[0], *scratch)
 
@@ -987,36 +1358,38 @@ def _cluster_closest_inst_impl(origin, direction, near, far, u_box, u_rows,
         grid=(nb,),
         out_shape=tuple(jax.ShapeDtypeStruct((nb, 1, BLOCK), jnp.float32)
                         for _ in range(3)),
-        in_specs=[box_spec, rows_spec, clip_spec, lw_spec, ray_spec,
+        in_specs=[box_spec, ti_spec, cl_spec, clip_spec, lw_spec, ray_spec,
                   ray_spec, nf_spec],
         out_specs=tuple(pl.BlockSpec((1, 1, BLOCK), lambda i: (i, 0, 0))
                         for _ in range(3)),
-        scratch_shapes=_scratch(streamed),
+        scratch_shapes=_scratch(streamed, ti_box.shape[1]),
         interpret=_interpret(),
-    )(u_box, u_rows, clip_rows_jnp(u_box, n_units), frames, o4, d4, nf_b)
+    )(ti_box, ti_rows, cl_obox, clip, frames, o4, d4, nf_b)
     return (t.reshape(rp)[:R], tid.reshape(rp)[:R].astype(jnp.int32),
             inst.reshape(rp)[:R].astype(jnp.int32))
 
 
-def cluster_closest_inst(origin, direction, near, far, u_box, u_rows,
-                         frames):
+def cluster_closest_inst(origin, direction, near, far, ti_box, ti_rows,
+                         cl_obox, frames):
     """Two-level closest hit. Returns (t [R], tri_id [R] i32 in DEVICE
     (cluster) order, inst_id [R] i32; -1 = miss). Discrete outputs — the
     integrator re-derives differentiable t/b1/b2 via refine_tri on the
     instance-transformed triangle."""
     t, tid, inst = _cluster_closest_inst_impl(
         *map(jax.lax.stop_gradient,
-             (origin, direction, near, far, u_box, u_rows, frames)))
+             (origin, direction, near, far, ti_box, ti_rows, cl_obox,
+              frames)))
     return (jax.lax.stop_gradient(t), jax.lax.stop_gradient(tid),
             jax.lax.stop_gradient(inst))
 
 
 @jax.jit
-def _cluster_shadow_inst_impl(origin, direction, dist, u_box, u_rows,
-                              frames, op_tab):
+def _cluster_shadow_inst_impl(origin, direction, dist, ti_box, ti_rows,
+                              cl_obox, frames, scl, op_tab):
     R = origin.shape[0]
-    n_units = u_rows.shape[0]
+    n_inst = ti_rows.shape[0]
     streamed = frames.shape[0] > RESIDENT_CLUSTERS
+    ti_box, ti_rows = _pad_ti(ti_box, ti_rows)
     rp = ((R + BLOCK - 1) // BLOCK) * BLOCK
     nb = rp // BLOCK
     o4 = _ray_mats(origin, 1.0, rp)
@@ -1024,61 +1397,64 @@ def _cluster_shadow_inst_impl(origin, direction, dist, u_box, u_rows,
     nf = jnp.stack([jnp.pad(dist, (0, rp - R), constant_values=-1.0),
                     jnp.zeros(rp, jnp.float32)], axis=0)
     nf_b = nf.reshape(2, nb, BLOCK).transpose(1, 0, 2)
+    clip = clip_rows_jnp(ti_box, n_inst)
     (box_spec, _, clip_spec, lw_spec, ray_spec, nf_spec,
-     out_spec) = _specs(streamed, u_box.shape, frames.shape)
-    rows_spec = pl.BlockSpec(u_rows.shape, lambda i: (0, 0),
-                             memory_space=pltpu.VMEM)
+     out_spec) = _specs(streamed, ti_box.shape, frames.shape, clip.shape[0])
+    ti_spec = pl.BlockSpec(ti_rows.shape, lambda i: (0, 0),
+                           memory_space=pltpu.SMEM)
+    cl_spec = pl.BlockSpec(cl_obox.shape, lambda i: (0, 0),
+                           memory_space=pltpu.SMEM)
+    scl_spec = pl.BlockSpec(scl.shape, lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
     op_spec = pl.BlockSpec(op_tab.shape, lambda i: (0, 0, 0),
                            memory_space=pltpu.VMEM)
 
-    def kern(box_ref, rows_ref, clip_ref, lw_ref, op_ref, o4_ref, d4_ref,
-             nf_ref, *rest):
+    def kern(box_ref, ti_smem, cl_smem, clip_ref, lw_ref, scl_ref, op_ref,
+             o4_ref, d4_ref, nf_ref, *rest):
         outs, scratch = rest[:4], rest[4:]
-        inner = _shadow_kernel_inst(n_units, streamed)
-        inner(box_ref, rows_ref, clip_ref, lw_ref, op_ref, o4_ref.at[0],
-              d4_ref.at[0], nf_ref.at[0], *[o.at[0] for o in outs],
-              *scratch)
+        inner = _shadow_kernel_inst(n_inst, streamed)
+        inner(box_ref, ti_smem, cl_smem, clip_ref, lw_ref, scl_ref, op_ref,
+              o4_ref.at[0], d4_ref.at[0], nf_ref.at[0],
+              *[o.at[0] for o in outs], *scratch)
 
     outs = pl.pallas_call(
         kern,
         grid=(nb,),
         out_shape=tuple(jax.ShapeDtypeStruct((nb, 1, BLOCK), jnp.float32)
                         for _ in range(4)),
-        in_specs=[box_spec, rows_spec, clip_spec, lw_spec, op_spec,
-                  ray_spec, ray_spec, nf_spec],
+        in_specs=[box_spec, ti_spec, cl_spec, clip_spec, lw_spec, scl_spec,
+                  op_spec, ray_spec, ray_spec, nf_spec],
         out_specs=tuple(pl.BlockSpec((1, 1, BLOCK), lambda i: (i, 0, 0))
                         for _ in range(4)),
-        scratch_shapes=_scratch(streamed),
+        scratch_shapes=_scratch(streamed, ti_box.shape[1]),
         interpret=_interpret(),
-    )(u_box, u_rows, clip_rows_jnp(u_box, n_units), frames, op_tab, o4, d4,
-      nf_b)
+    )(ti_box, ti_rows, cl_obox, clip, frames, scl, op_tab, o4, d4, nf_b)
     mr, mg, mb, ma = [x.reshape(rp)[:R] for x in outs]
     return jnp.stack([mr, mg, mb], axis=1), ma
 
 
 @jax.custom_vjp
-def cluster_shadow_inst(origin, direction, dist, u_box, u_rows, frames,
-                        u_inst, u_slot, cl_base, cl_count, tri_slot,
-                        inst_slot_map, mat_color, tri_v0, tri_e1, tri_e2,
-                        exp_tri, exp_inst, inst_fwd):
+def cluster_shadow_inst(origin, direction, dist, ti_box, ti_rows, cl_obox,
+                        frames, cl_slot, tri_slot, inst_slot_map, mat_color,
+                        tri_v0, tri_e1, tri_e2, exp_tri, exp_inst, inst_fwd):
     """Two-level shadow traversal: (mask_rgb [R,3], mask_a [R]).
 
-    Opacity comes live from ``mat_color`` through each unit's instance slot
-    table (never stale). Backward replays the test through the dense
-    differentiable projection over the expanded (instance, triangle) set —
-    the same path-replay argument as the soup shadow."""
-    op_tab = unit_opacity(mat_color, inst_slot_map, tri_slot, u_inst,
-                          u_slot, cl_base, cl_count)
-    return _cluster_shadow_inst_impl(origin, direction, dist, u_box, u_rows,
-                                     frames, op_tab)
+    Opacity comes live from ``mat_color`` through each instance's slot
+    table (never stale; resolved in-kernel via a one-hot MXU contraction).
+    Backward replays the test through the dense differentiable projection
+    over the expanded (instance, triangle) set — the same path-replay
+    argument as the soup shadow."""
+    op_tab = instance_opacity(mat_color, inst_slot_map)
+    return _cluster_shadow_inst_impl(origin, direction, dist, ti_box,
+                                     ti_rows, cl_obox, frames, cl_slot,
+                                     op_tab)
 
 
-def _cs_inst_fwd(origin, direction, dist, u_box, u_rows, frames,
-                 u_inst, u_slot, cl_base, cl_count, tri_slot,
-                 inst_slot_map, mat_color, tri_v0, tri_e1, tri_e2,
-                 exp_tri, exp_inst, inst_fwd):
-    out = cluster_shadow_inst(origin, direction, dist, u_box, u_rows, frames,
-                              u_inst, u_slot, cl_base, cl_count, tri_slot,
+def _cs_inst_fwd(origin, direction, dist, ti_box, ti_rows, cl_obox,
+                 frames, cl_slot, tri_slot, inst_slot_map, mat_color,
+                 tri_v0, tri_e1, tri_e2, exp_tri, exp_inst, inst_fwd):
+    out = cluster_shadow_inst(origin, direction, dist, ti_box, ti_rows,
+                              cl_obox, frames, cl_slot, tri_slot,
                               inst_slot_map, mat_color, tri_v0, tri_e1,
                               tri_e2, exp_tri, exp_inst, inst_fwd)
     res = (origin, direction, dist, tri_slot, inst_slot_map, mat_color,
@@ -1112,7 +1488,7 @@ def _cs_inst_bwd(res, g):
                      mat_color)
     d_o, d_d, d_dist, d_v0, d_e1, d_e2, d_mc = vjp(g)
     return (d_o, d_d, d_dist, None, None, None, None, None, None, None,
-            None, None, d_mc, d_v0, d_e1, d_e2, None, None, None)
+            d_mc, d_v0, d_e1, d_e2, None, None, None)
 
 
 cluster_shadow_inst.defvjp(_cs_inst_fwd, _cs_inst_bwd)

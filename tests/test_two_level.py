@@ -26,9 +26,8 @@ from rayzath_tpu.ops.traverse_cluster import (cluster_closest_inst,
 def _shadow_inst(tl, o, d, dist, mat_color=None):
     mc = tl.mat_color if mat_color is None else mat_color
     return cluster_shadow_inst(
-        o, d, dist, tl.cu_box, tl.cu_rows, tl.cl_lw,
-        tl.u_inst, tl.u_slot, tl.cl_base, tl.cl_count,
-        tl.tri_slot, tl.inst_slot_map, mc,
+        o, d, dist, tl.ti_box, tl.ti_rows, tl.cl_obox, tl.cl_lw,
+        tl.cl_slot, tl.tri_slot, tl.inst_slot_map, mc,
         tl.tri_v0, tl.tri_e1, tl.tri_e2,
         tl.exp_tri, tl.exp_inst, tl.inst_fwd)
 
@@ -54,8 +53,8 @@ def test_two_level_shares_meshes(instanced):
     n_sphere = next(i.mesh.triangle_count for i in w.instances
                     if i.name.startswith("ball"))
     assert soup.n_triangles - tl.n_triangles == 2 * n_sphere
-    # frames are shared: units outnumber mesh clusters
-    assert tl.cu_rows.shape[0] >= tl.cl_lw.shape[0]
+    # frames are shared: instance cluster ranges cover the mesh clusters
+    assert tl.ti_rows.shape[0] >= 3
 
 
 def test_inst_closest_matches_expanded_brute_force(instanced):
@@ -63,8 +62,8 @@ def test_inst_closest_matches_expanded_brute_force(instanced):
     r = o.shape[0]
     near = jnp.full(r, 1e-4)
     far = jnp.full(r, 1e30)
-    t, tid, inst = cluster_closest_inst(o, d, near, far, tl.cu_box,
-                                        tl.cu_rows, tl.cl_lw)
+    t, tid, inst = cluster_closest_inst(o, d, near, far, tl.ti_box,
+                                        tl.ti_rows, tl.cl_obox, tl.cl_lw)
     ts, tids, *_ = brute_force_closest(o, d, near, far, soup.tri_v0,
                                        soup.tri_e1, soup.tri_e2)
     hit = np.asarray(tid) >= 0
@@ -210,4 +209,4 @@ def test_moving_one_instance_only_moves_it(instanced):
     b = compile_world(w, two_level=True)
     assert (np.asarray(a.cl_lw) == np.asarray(b.cl_lw)).all()
     assert (np.asarray(a.tri_v0) == np.asarray(b.tri_v0)).all()
-    assert not (np.asarray(a.cu_rows) == np.asarray(b.cu_rows)).all()
+    assert not (np.asarray(a.ti_rows) == np.asarray(b.ti_rows)).all()

@@ -97,8 +97,8 @@ def main():
     world = rz.scenes.SCENES[args.scene](W, H)
     scene = compile_world(world)
     two = scene.two_level
-    box = np.asarray(scene.cu_box if two else scene.cl_box)
-    n_real = (scene.cu_rows.shape[0] if two else scene.cl_lw.shape[0])
+    box = np.asarray(scene.ti_box if two else scene.cl_box)
+    n_real = (scene.ti_rows.shape[0] if two else scene.cl_lw.shape[0])
     cnt = box[B_CNT]
     real = cnt > 0
     cmin = box[B_MIN:B_MIN + 3, real].T
@@ -183,7 +183,7 @@ def sorted_stats(scene_name="mesh_heavy", blocks=32):
     R = W * H
     world = rz.scenes.SCENES[scene_name](W, H)
     scene = compile_world(world)
-    box = np.asarray(scene.cu_box if scene.two_level else scene.cl_box)
+    box = np.asarray(scene.ti_box if scene.two_level else scene.cl_box)
     real = box[B_CNT] > 0
     cmin = box[B_MIN:B_MIN + 3, real].T
     cmax = box[B_MAX:B_MAX + 3, real].T
