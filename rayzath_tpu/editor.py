@@ -162,3 +162,68 @@ def save_scene(world: World, path: str) -> dict:
     """Save the world to a scene JSON (+ maps) — the save-modal action."""
     world.save_scene(path)
     return {"saved": path}
+
+
+def load_scene(world: World, path: str) -> dict:
+    """Replace the world's content with a scene JSON — the load-modal action
+    (reference Application/load_modals.cpp:1-597 + file_browser.cpp). The
+    world object itself survives (the renderer keeps watching it); its
+    containers are cleared and refilled, and the content-version bump
+    restarts accumulation."""
+    from .io.loader import load_scene as _load
+    world.destroy_all()
+    result = _load(world, path)
+    return {"loaded": path,
+            "errors": [str(m) for m in getattr(result, "errors", [])],
+            "objects": {t: len(getattr(world, c))
+                        for t, c in _CONTAINERS.items()}}
+
+
+#: Constructible object types for the new-object modal (reference
+#: Application/new_modals.cpp): type -> (world factory, default kwargs).
+NEWABLE = {
+    "material": lambda w, p: w.create_material(p.get("name", "material")),
+    "mesh": lambda w, p: w.generate_mesh(p.get("kind", "cube"),
+                                         **{k: v for k, v in p.items()
+                                            if k not in ("kind", "name")}),
+    "spot_light": lambda w, p: w.create_spot_light(p.get("name", "spot light")),
+    "direct_light": lambda w, p: w.create_direct_light(
+        p.get("name", "direct light")),
+    "camera": lambda w, p: w.create_camera(p.get("name", "camera")),
+    "group": lambda w, p: w.create_group(p.get("name", "group")),
+}
+
+
+def new_object(world: World, type_: str, params: dict | None = None) -> dict:
+    """Create an object — the new-object modal action. ``instance`` takes
+    ``mesh``/``material`` container indices; ``mesh`` takes a generator
+    ``kind`` (+ its parameters)."""
+    params = params or {}
+    if type_ == "instance":
+        mesh = world.meshes[int(params.get("mesh", 0))] if len(world.meshes) \
+            else None
+        mats = []
+        if "material" in params:
+            mats = [world.materials[int(params["material"])]]
+        obj = world.create_instance(name=params.get("name", "instance"),
+                                    mesh=mesh, materials=mats)
+    elif type_ in NEWABLE:
+        obj = NEWABLE[type_](world, params)
+        if "name" in params:
+            obj.name = params["name"]
+    else:
+        raise KeyError(f"cannot create type {type_!r}; have "
+                       f"{sorted(NEWABLE) + ['instance']}")
+    container = getattr(world, _CONTAINERS[type_])
+    return {"created": type_, "idx": container.index_of(obj),
+            "name": getattr(obj, "name", "")}
+
+
+def destroy_object(world: World, type_: str, idx: int) -> dict:
+    """Destroy by container index — detaches every reference (Observer
+    semantics, models/world.py World._detach)."""
+    container = getattr(world, _CONTAINERS[type_])
+    obj = container[idx]
+    container.destroy(obj)
+    return {"destroyed": type_, "name": getattr(obj, "name", ""),
+            "remaining": len(container)}

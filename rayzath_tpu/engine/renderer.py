@@ -188,6 +188,10 @@ class Renderer:
 
     def load_checkpoint(self, path: str, camera=None) -> None:
         cam = camera or next(c for c in self.world.cameras if c.enabled)
+        # compile the world FIRST: the first update_scene of a fresh
+        # renderer resets every view's progressive state, which would wipe
+        # the checkpoint loaded below (found by test_checkpoint.py)
+        self.update_scene()
         cv = self.view(cam)
         cv.state = load_state(path)
         cv.pass_count = int(cv.state.pass_idx)

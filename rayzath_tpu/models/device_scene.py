@@ -29,6 +29,7 @@ TPU-first design decisions (vs the reference's two-level pointer BVH):
 """
 from __future__ import annotations
 
+import warnings
 from typing import Any, Optional
 
 import numpy as np
@@ -290,6 +291,22 @@ def _mesh_object_arrays(mesh):
     return v0, v1 - v0, v2 - v0, n0, n1, n2, t0, t1, t2, slot
 
 
+
+
+def _resolve_mat(mat_index: dict, mat, inst_name: str) -> int:
+    """Material slot -> global id, warning on dangling references (a material
+    never added to — or already destroyed from — the world renders with the
+    default material, reference Observer-invalidation semantics)."""
+    mid = mat_index.get(id(mat))
+    if mid is None:
+        warnings.warn(
+            f"instance {inst_name!r} references material "
+            f"{getattr(mat, 'name', '?')!r} that is not in the world; "
+            "substituting the default material", RuntimeWarning)
+        return DEFAULT_MATERIAL_ID
+    return mid
+
+
 def _two_level_arrays(world: World, mat_index: dict) -> dict:
     """Two-level geometry: shared per-mesh object-space cluster tables +
     per-instance transforms + flat unit table over (instance x cluster).
@@ -356,8 +373,8 @@ def _two_level_arrays(world: World, mat_index: dict) -> dict:
         inst_nrm[gi] = nmat.reshape(9)
         for s_, mat in enumerate(inst.materials[:64]):
             if mat is not None:
-                inst_slot_map[gi, s_] = mat_index.get(id(mat),
-                                                      DEFAULT_MATERIAL_ID)
+                inst_slot_map[gi, s_] = _resolve_mat(mat_index, mat,
+                                                     inst.name)
         cmin, cmax = mesh_cmin[mi], mesh_cmax[mi]
         # world AABB of the whole instance = union of its cluster boxes
         wlo = np.full(3, 3e38, np.float32)
@@ -599,7 +616,7 @@ def compile_world(world: World, leaf_size: int = 8,
         slot_table = np.full(64, DEFAULT_MATERIAL_ID, np.int32)
         for s, mat in enumerate(inst.materials[:64]):
             if mat is not None:
-                slot_table[s] = mat_index.get(id(mat), DEFAULT_MATERIAL_ID)
+                slot_table[s] = _resolve_mat(mat_index, mat, inst.name)
         gmat = slot_table[np.clip(mesh.tri_mat, 0, 63)]
 
         v0s.append(v0); e1s.append(v1 - v0); e2s.append(v2 - v0)
@@ -711,7 +728,7 @@ def _cutout_fields(world: World, mat_index, mat_color, mat_maps) -> dict:
         slot_table = np.full(64, DEFAULT_MATERIAL_ID, np.int32)
         for s, mat in enumerate(inst.materials[:64]):
             if mat is not None:
-                slot_table[s] = mat_index.get(id(mat), DEFAULT_MATERIAL_ID)
+                slot_table[s] = _resolve_mat(mat_index, mat, inst.name)
         gmat = slot_table[np.clip(mesh.tri_mat, 0, 63)]
         sel = (mat_maps[gmat, 0] >= 0) & (mat_color[gmat, 3] < 1.0 - 1e-6)
         if not sel.any():

@@ -45,6 +45,10 @@ class ObjectContainer(Generic[T]):
             return False
         self._objects[idx] = self._objects[-1]
         self._objects.pop()
+        # Observer semantics (reference roho.hpp:18-502): every holder of a
+        # destroyed object is notified and drops its reference, so nothing
+        # renders from a silently-stale Python object
+        self._world._detach(obj)
         self._world.touch()
         return True
 
@@ -89,6 +93,43 @@ class World:
 
         self.material = world_default_material()        # sky/world material
         self.default_material = default_surface_material()
+
+    # -- destroy notification (reference Observer callbacks, roho.hpp:18-502) --
+    def _detach(self, obj) -> None:
+        """Null out every live reference to a just-destroyed object: material
+        slots and mesh refs on instances, map refs on materials, group links.
+        The next compile then substitutes defaults (materials) or skips
+        (instances without a mesh) instead of rendering a stale object."""
+        if isinstance(obj, Material):
+            for inst in self.instances:
+                inst.materials = [None if m is obj else m
+                                  for m in inst.materials]
+        elif isinstance(obj, Mesh):
+            for inst in self.instances:
+                if inst.mesh is obj:
+                    inst.mesh = None
+        elif isinstance(obj, (Texture, NormalMap, MetalnessMap,
+                              RoughnessMap, EmissionMap)):
+            attrs = ("texture", "normal_map", "metalness_map",
+                     "roughness_map", "emission_map")
+            for mat in list(self.materials) + [self.material,
+                                               self.default_material]:
+                for a in attrs:
+                    if getattr(mat, a, None) is obj:
+                        setattr(mat, a, None)
+        elif isinstance(obj, Instance):
+            for grp in self.groups:
+                if obj in getattr(grp, "instances", ()):
+                    grp.instances.remove(obj)
+        elif isinstance(obj, Group):
+            for grp in self.groups:
+                if obj in grp.groups:
+                    grp.groups.remove(obj)
+            for inst in self.instances:
+                if inst.group is obj:
+                    inst.group = None
+            for child in obj.groups:
+                child.parent = None
 
     # -- dirty tracking (analog of reference StateRegister, updatable.hpp:10-32) --
     def touch(self) -> None:

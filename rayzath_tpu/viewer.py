@@ -25,6 +25,12 @@ thread renders progressively through the normal :class:`Renderer` while an
                          (reference Application/properties.cpp:1-908)
 * ``POST /save``       — save the scene JSON + maps (save modal,
                          Application/save_modals.cpp)
+* ``POST /load``       — replace the scene from a JSON path (load modal,
+                         Application/load_modals.cpp:1-597)
+* ``POST /new``        — create a material/mesh/light/camera/group/instance
+                         (new-object modals, Application/new_modals.cpp)
+* ``POST /destroy``    — destroy by container index, detaching references
+                         (Observer semantics, roho.hpp:18-502)
 
 Camera edits bump the camera version, so the renderer's temporal
 reprojection (ops/reproject.py) carries the accumulated image across moves —
@@ -179,6 +185,14 @@ class Viewer:
         self.picked = ""
         self._rays = 0.0                    # EMA rays/s
         # orbit target: the point the camera looks at, at focal distance
+        fwd = np.asarray(self.camera.coord_system())[:, 2]
+        self.target = (np.asarray(self.camera.position, np.float64)
+                       + fwd * self.camera.focal_distance)
+
+    def rebind_camera(self) -> None:
+        """Re-attach to the world's first enabled camera (after /load
+        replaced the scene's contents, including its cameras)."""
+        self.camera = next(c for c in self.world.cameras if c.enabled)
         fwd = np.asarray(self.camera.coord_system())[:, 2]
         self.target = (np.asarray(self.camera.position, np.float64)
                        + fwd * self.camera.focal_distance)
@@ -347,6 +361,42 @@ class Viewer:
                             out = editor.save_scene(
                                 viewer.world, body.get("path", "scene_out.json"))
                     except OSError as e:
+                        self._send(400, json.dumps(
+                            {"error": str(e)}).encode(), "application/json")
+                        return
+                elif path == "/load":
+                    # load-modal parity (reference load_modals.cpp:1-597):
+                    # replace the scene; the content-version bump restarts
+                    # the render loop on the same world object
+                    from . import editor
+                    try:
+                        with viewer.lock:
+                            out = editor.load_scene(
+                                viewer.world, body.get("path", ""))
+                            viewer.rebind_camera()
+                    except (OSError, RuntimeError, ValueError, StopIteration) as e:
+                        self._send(400, json.dumps(
+                            {"error": str(e)}).encode(), "application/json")
+                        return
+                elif path == "/new":
+                    from . import editor
+                    try:
+                        with viewer.lock:
+                            out = editor.new_object(
+                                viewer.world, body.get("type", ""),
+                                body.get("params", {}))
+                    except (KeyError, IndexError, ValueError) as e:
+                        self._send(400, json.dumps(
+                            {"error": str(e)}).encode(), "application/json")
+                        return
+                elif path == "/destroy":
+                    from . import editor
+                    try:
+                        with viewer.lock:
+                            out = editor.destroy_object(
+                                viewer.world, body.get("type", ""),
+                                int(body.get("idx", 0)))
+                    except (KeyError, IndexError) as e:
                         self._send(400, json.dumps(
                             {"error": str(e)}).encode(), "application/json")
                         return

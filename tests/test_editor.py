@@ -2,6 +2,7 @@
 properties.cpp:1-908 + save_modals.cpp): explorer tree, live property
 edits that restart progressive accumulation, and save-from-editor."""
 import json
+import os
 import threading
 import time
 import urllib.request
@@ -86,7 +87,11 @@ def test_viewer_edit_endpoints_restart_render(tmp_path):
     emission from the HTTP surface, see accumulation restart, save the
     scene."""
     world = rz.scenes.multi_light(32, 32)
-    v = Viewer(world, rz.RenderConfig(tracing=rz.Tracing(max_depth=2, rpp=2)),
+    # dense XLA intersection (no interpret-mode Pallas): off-TPU the kernels
+    # run under the Pallas interpreter, whose first cycle can blow the CI
+    # wait — the HTTP/restart logic under test is identical either way
+    v = Viewer(world, rz.RenderConfig(tracing=rz.Tracing(max_depth=2, rpp=2),
+                                      brute_force_threshold=100000),
                rpp_per_cycle=2)
     server = v.make_server(port=0)
     port = server.server_address[1]
@@ -139,3 +144,56 @@ def test_viewer_edit_endpoints_restart_render(tmp_path):
     finally:
         v.stop()
         server.shutdown()
+
+
+def test_viewer_load_new_destroy_roundtrip(tmp_path):
+    """Load-modal parity (VERDICT item 7): drive load -> new -> edit ->
+    destroy -> save over HTTP; container edits flow through the Versioned
+    restart path."""
+    world = rz.scenes.cornell_box(32, 32)
+    scene_path = str(tmp_path / "exported" / "scene.json")
+    world.save_scene(scene_path)
+
+    start_world = rz.World()
+    start_world.create_camera(resolution=(32, 32))
+    v = Viewer(start_world,
+               rz.RenderConfig(tracing=rz.Tracing(max_depth=2, rpp=2),
+                               brute_force_threshold=100000),
+               rpp_per_cycle=2)
+    server = v.make_server(port=0)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        code, body = _req(port, "/load", {"path": scene_path})
+        assert code == 200
+        loaded = json.loads(body)
+        assert loaded["objects"]["instance"] > 0
+
+        code, body = _req(port, "/new", {"type": "material",
+                                         "params": {"name": "fresh"}})
+        assert code == 200
+        idx = json.loads(body)["idx"]
+        code, body = _req(port, "/edit", {"type": "material", "idx": idx,
+                                          "attr": "emission", "value": 2.5})
+        assert code == 200
+        assert v.world.materials[idx].emission == 2.5
+
+        n_before = len(v.world.materials)
+        code, body = _req(port, "/destroy", {"type": "material", "idx": idx})
+        assert code == 200
+        assert len(v.world.materials) == n_before - 1
+
+        out_path = str(tmp_path / "resaved" / "scene.json")
+        code, body = _req(port, "/save", {"path": out_path})
+        assert code == 200
+        assert os.path.exists(out_path)
+
+        # bad requests answer 400, not a dead server
+        try:
+            _req(port, "/new", {"type": "nonsense"})
+            assert False, "expected HTTP 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        server.shutdown()
+        server.server_close()
