@@ -623,7 +623,11 @@ def bounce_step(scene: DeviceScene, cam: DeviceCamera, cfg: RenderConfig,
     med_scatter = med_row[:, 8]
 
     # --- volumetric free flight (cuda_material.cuh:141-159) ---
-    scat_dist = -jnp.log(u[:, 0] + 1e-4) / jnp.maximum(med_scatter, 1e-20)
+    # the sampled distance uses a DETACHED sigma: the event's dependence on
+    # sigma is handled by the score-function surrogate below, and mixing a
+    # reparameterized distance with it would double count
+    sigma = jnp.maximum(med_scatter, 1e-20)
+    scat_dist = -jnp.log(u[:, 0] + 1e-4) / jax.lax.stop_gradient(sigma)
     has_scatter = med_scatter > 1e-4
     far_eff = jnp.where(has_scatter, jnp.minimum(far, scat_dist), far)
 
@@ -634,6 +638,26 @@ def bounce_step(scene: DeviceScene, cam: DeviceCamera, cfg: RenderConfig,
     scatter_evt = has_scatter & ~hit_obj & (scat_dist < far)
     any_hit = hit_obj | scatter_evt
     t_final = jnp.where(hit_obj, t, jnp.where(scatter_evt, scat_dist, far_eff))
+
+    # --- scatter-event score-function surrogate ---
+    # the event DECISION (scatter at s vs survive to the surface) is a
+    # discrete function of sigma that the pathwise gradient cannot see
+    # (parallel/train.py's exclusion note). Multiply the throughput by the
+    # event's likelihood ratio p_sigma(outcome)/stop_grad(p_sigma(outcome)):
+    # forward value exactly 1, backward injects d log p/d sigma into every
+    # downstream contribution — the REINFORCE estimator for the free-flight
+    # event (scatter pdf sigma*exp(-sigma*s); survival exp(-sigma*t_hit)).
+    t_sg = jax.lax.stop_gradient(t_final)
+    logp = jnp.where(scatter_evt, jnp.log(sigma) - sigma * t_sg,
+                     jnp.where(has_scatter, -sigma * t_sg, 0.0))
+    event_ratio = jnp.exp(logp - jax.lax.stop_gradient(logp))
+    # per-path cumulative score: the SAMPLE-COUNT channel is also an
+    # event-dependent outcome (a path's termination pass shifts with the
+    # free-flight decisions), so its increments carry the same likelihood
+    # ratio — without this the score estimator is ~2x biased whenever the
+    # loss divides by the per-pixel sample count
+    score = state.score + logp
+    count_ratio = jnp.exp(score - jax.lax.stop_gradient(score))
 
     e1, e2 = tp[:, 3:6], tp[:, 6:9]
     n0_w, n1_w, n2_w = tp[:, 9:12], tp[:, 12:15], tp[:, 15:18]
@@ -693,7 +717,9 @@ def bounce_step(scene: DeviceScene, cam: DeviceCamera, cfg: RenderConfig,
     # 1e-6^t is numerically 0 for any scene-scale distance
     med_alpha_op = 1.0 - med_color[:, 3]
     throughput = (state.throughput * med_color[:, :3]
-                  * jnp.power(jnp.maximum(med_alpha_op, 1e-6), t_final)[:, None])
+                  * (event_ratio
+                     * jnp.power(jnp.maximum(med_alpha_op, 1e-6),
+                                 t_final))[:, None])
 
     # --- emissive contribution ---
     contrib = jnp.where((mat.emission > 0.0)[:, None],
@@ -755,7 +781,8 @@ def bounce_step(scene: DeviceScene, cam: DeviceCamera, cfg: RenderConfig,
     path_continues = new_depth < cfg.tracing.max_depth
     terminated = ~path_continues
     accum = state.accum.at[:, :, :3].add(contrib.reshape(H, W, 3))
-    accum = accum.at[:, :, 3].add(terminated.reshape(H, W).astype(jnp.float32))
+    accum = accum.at[:, :, 3].add(
+        jnp.where(terminated, count_ratio, 0.0).reshape(H, W))
 
     # depth/space buffers on camera segments (renderFirstPass,
     # cuda_render_kernel.cu:39-43)
@@ -778,12 +805,13 @@ def bounce_step(scene: DeviceScene, cam: DeviceCamera, cfg: RenderConfig,
     depth_out = jnp.where(terminated, 0, new_depth)
     near_out = jnp.where(terminated, cam.near_far[0], 0.0)
     far_out = jnp.where(terminated, cam.near_far[1], BIG)
+    score_out = jnp.where(terminated, 0.0, score)
 
     return state.replace(
         accum=accum, depth_buf=depth_buf, space_buf=space_buf,
         origin=origin, direction=direction, throughput=throughput_out,
         medium=medium, path_depth=depth_out, near=near_out, far=far_out,
-        pass_idx=state.pass_idx + 1)
+        score=score_out, pass_idx=state.pass_idx + 1)
 
 
 # ---------------------------------------------------------------------------

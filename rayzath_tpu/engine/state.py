@@ -29,7 +29,11 @@ class RenderState:
     path_depth: jnp.ndarray  # [R] i32
     near: jnp.ndarray        # [R]
     far: jnp.ndarray         # [R]
-    pass_idx: jnp.ndarray    # scalar i32 (RNG counter / progressive pass index)
+    #: cumulative log-likelihood of the path's discrete free-flight events
+    #: (score-function estimator for d/d scattering; 0 when no scattering
+    #: medium was traversed — see integrator.bounce_step)
+    score: jnp.ndarray = None  # [R]
+    pass_idx: jnp.ndarray = None  # scalar i32 (RNG counter / pass index)
     width: int = struct.field(pytree_node=False, default=0)
     height: int = struct.field(pytree_node=False, default=0)
 
@@ -50,6 +54,7 @@ def init_state(width: int, height: int) -> RenderState:
         path_depth=jnp.full(r, PATH_LIMIT, jnp.int32),
         near=jnp.zeros(r, jnp.float32),
         far=jnp.full(r, BIG, jnp.float32),
+        score=jnp.zeros(r, jnp.float32),
         pass_idx=jnp.int32(0),
         width=width,
         height=height,
@@ -61,7 +66,8 @@ def save_state(path: str, state: RenderState) -> None:
         path,
         **{f: np.asarray(getattr(state, f)) for f in (
             "accum", "depth_buf", "space_buf", "origin", "direction",
-            "throughput", "medium", "path_depth", "near", "far", "pass_idx")},
+            "throughput", "medium", "path_depth", "near", "far", "score",
+            "pass_idx")},
         width=state.width, height=state.height,
     )
 
@@ -74,6 +80,8 @@ def load_state(path: str) -> RenderState:
         direction=jnp.asarray(z["direction"]), throughput=jnp.asarray(z["throughput"]),
         medium=jnp.asarray(z["medium"]), path_depth=jnp.asarray(z["path_depth"]),
         near=jnp.asarray(z["near"]), far=jnp.asarray(z["far"]),
+        score=(jnp.asarray(z["score"]) if "score" in z
+               else jnp.zeros_like(jnp.asarray(z["near"]))),
         pass_idx=jnp.asarray(z["pass_idx"]),
         width=int(z["width"]), height=int(z["height"]),
     )

@@ -6,6 +6,7 @@ Fresnel) in vectorized, differentiable form.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 EPS = 1e-20
@@ -97,12 +98,27 @@ def sample_disk(r1, r2, vn, radius):
     return (vx * (jnp.sin(ang) * rad)[..., None] + vy * (jnp.cos(ang) * rad)[..., None])
 
 
+#: Temperature of the sigmoid-relaxed total-internal-reflection indicator
+#: used for ior GRADIENTS (the forward value stays the exact hard branch).
+#: Smaller = tighter boundary = lower bias but higher variance near TIR;
+#: anneal toward 0 over an inverse-rendering run by assigning this global.
+TIR_TAU = 0.05
+
+
 def fresnel_specular_ratio(vn, vi, n1, n2):
     """Exact dielectric Fresnel reflectance + refraction factors.
 
     Returns (fresnel, ratio, refr_b) where the refracted direction is
     ``vi * ratio + vn * refr_b`` (reference fresnelSpecularRatio,
     cuda_render_parts.cuh:1335-1355). Total internal reflection -> fresnel = 1.
+
+    Differentiability: the TIR branch switches the reflectance (and the
+    sampled direction family downstream) discontinuously in ior, so the
+    pathwise derivative is blind to the boundary. The fresnel value is
+    therefore computed straight-through: its FORWARD value is the exact
+    hard branch, while its GRADIENT is that of a sigmoid-relaxed blend
+    ``lerp(F, 1, sigmoid((sin2_t - 1)/TIR_TAU))`` — the annealable
+    estimator the ior entry in parallel.train.DIFF_PARAMS relies on.
     """
     ratio = n1 / jnp.maximum(n2, EPS)
     cosi = jnp.abs(dot(vi, vn))
@@ -114,6 +130,10 @@ def fresnel_specular_ratio(vn, vi, n1, n2):
     cost = jnp.sqrt(jnp.maximum(1.0 - sin2_t, 1e-12))
     rp = (n1 * cosi - n2 * cost) / jnp.maximum(n1 * cosi + n2 * cost, EPS)
     rs = (n2 * cosi - n1 * cost) / jnp.maximum(n2 * cosi + n1 * cost, EPS)
-    f = jnp.where(tir, 1.0, 0.5 * (rs * rs + rp * rp))
+    f_fresnel = 0.5 * (rs * rs + rp * rp)
+    f_hard = jnp.where(tir, 1.0, f_fresnel)
+    w_tir = jax.nn.sigmoid((sin2_t - 1.0) / TIR_TAU)
+    f_relaxed = f_fresnel + (1.0 - f_fresnel) * w_tir
+    f = f_relaxed + jax.lax.stop_gradient(f_hard - f_relaxed)
     refr_b = ratio * cosi - cost
     return f, ratio, refr_b

@@ -26,25 +26,18 @@ from ..engine.state import RenderState
 # alpha through the cluster-shadow custom_vjp at 64^2 via
 # test_grad_fd_through_cluster_shadow_at_64px).
 #
-# ``mat_ior`` and ``mat_scattering`` are deliberately EXCLUDED, not merely
-# untested:
-# * ior enters through fresnel_specular_ratio, whose total-internal-
-#   reflection branch (sin2_t >= 1) switches the sampled direction family
-#   discontinuously; the pathwise derivative on either side exists but the
-#   estimator is biased across the TIR boundary, and near-boundary rays
-#   dominate the variance. A usable treatment needs a reparameterized /
-#   smoothed Fresnel (e.g. a sigmoid-relaxed TIR indicator annealed during
-#   training) — tracked as future work, not a one-line fix.
-# * scattering drives the exponential free-flight sampling
-#   (scat_dist = -log u / sigma) and the scatter-event DECISION
-#   (scat_dist < far): the decision flip is a discrete jump the pathwise
-#   gradient cannot see, so dL/d(sigma) is systematically wrong whenever
-#   event probabilities matter (exactly when one trains scattering).
-#   The principled fix is a score-function / differential-transmittance
-#   estimator for the event probability.
-# Training either today silently optimizes a biased objective, so they stay
-# out of DIFF_PARAMS until the estimators above exist.
+# ``mat_ior`` and ``mat_scattering`` carry dedicated estimators for their
+# discrete decision boundaries (tests/test_gradients.py validates both):
+# * ior: the total-internal-reflection branch switches discontinuously; the
+#   fresnel value is straight-through with a sigmoid-relaxed TIR indicator
+#   supplying the gradient (ops/vec.py fresnel_specular_ratio; anneal
+#   ops.vec.TIR_TAU toward 0 over a training run).
+# * scattering: the free-flight scatter-vs-survive DECISION is handled by a
+#   score-function likelihood-ratio surrogate on the throughput (forward
+#   value exactly 1; engine/integrator.py bounce_step) — the pathwise
+#   gradient alone is blind to event-probability changes.
 DIFF_PARAMS = ("mat_color", "mat_metalness", "mat_roughness", "mat_emission",
+               "mat_ior", "mat_scattering",
                "color_atlas", "scalar_atlas", "spot_emission", "dir_emission")
 
 
@@ -86,4 +79,7 @@ def _project(name: str, value):
     non-physical radiance and can diverge to NaN)."""
     if name in _UNIT_PARAMS:
         return jnp.clip(value, 0.0, 1.0)
+    if name == "mat_ior":
+        # refractive indices below 1 are non-physical for these media
+        return jnp.maximum(value, 1.0)
     return jnp.maximum(value, 0.0)

@@ -218,3 +218,85 @@ def test_grad_fd_through_cluster_shadow_at_64px():
     assert np.isfinite(float(g)) and float(g) != 0.0
     assert float(g) == pytest.approx(float(fd), rel=0.05), (
         f"alpha: analytic {float(g)} vs fd {float(fd)}")
+
+
+def test_grad_fd_ior():
+    """FD validation for mat_ior (VERDICT item 6). The ior reaches radiance
+    smoothly through the fresnel -> reflectance -> BRDF/NEE weights (the
+    straight-through TIR relaxation supplies the boundary gradient); the
+    branch lotteries it also shifts are discrete, so both sides average over
+    keys and the comparison is Monte Carlo vs Monte Carlo."""
+    w = rz.scenes.multi_light(16, 12)
+    cfg = rz.RenderConfig(tracing=rz.Tracing(max_depth=3, rpp=4))
+    scene = compile_world(w)
+    cam = compile_camera(w.cameras[0])
+    state = init_state(16, 12)
+    target = jnp.zeros((12, 16, 3))
+    idx = int(np.argwhere(np.asarray(scene.mat_ior) > 1.2)[0, 0])
+    base = float(scene.mat_ior[idx])
+
+    def loss_of(v, key):
+        s = scene.replace(mat_ior=scene.mat_ior.at[idx].set(v))
+        return image_loss(s, cam, cfg, state, key, target, 4)[0]
+
+    lg = jax.jit(jax.value_and_grad(loss_of))
+    lj = jax.jit(loss_of)
+    keys = [jax.random.key(50 + i) for i in range(24)]
+    g = float(np.mean([float(lg(jnp.float32(base), k)[1]) for k in keys]))
+    eps = 0.05
+    fd = float(np.mean([(float(lj(jnp.float32(base + eps), k))
+                         - float(lj(jnp.float32(base - eps), k))) / (2 * eps)
+                        for k in keys]))
+    assert np.isfinite(g) and g != 0.0
+    assert g == pytest.approx(fd, rel=0.2), f"ior: analytic {g} vs fd {fd}"
+
+
+def foggy_world():
+    """Camera inside a scattering WORLD medium over an emissive floor: every
+    camera ray free-flights against the medium, so the scatter-vs-survive
+    event probability drives the image directly."""
+    w = rz.World()
+    w.material.scattering = 0.8        # the sky/world medium is the fog
+    w.material.emission = 0.4
+    glow = w.create_material("glow", color=(1.0, 1.0, 1.0, 1.0), emission=5.0)
+    plane = w.generate_mesh("plane", sides=4, width=6.0, height=6.0)
+    w.create_instance(name="floor", mesh=plane, materials=[glow])
+    cam = w.create_camera("cam", position=(0, 1.2, -2.0), resolution=(8, 8),
+                          aperture=0.01, exposure_time=1.0)
+    cam.look_at((0, 0.0, 0.5))
+    return w
+
+
+def test_grad_fd_scattering_score_function():
+    """FD validation for mat_scattering (VERDICT item 6). The scatter event
+    is DISCRETE, so the score-function surrogate's gradient equals the
+    derivative of the EXPECTED radiance (a linear functional of the path
+    outcomes); both sides are Monte-Carlo averaged over many keys. (For a
+    NONLINEAR objective at low spp — e.g. per-pixel squared error over 4
+    passes — E[g(S)] and g(E[S]) genuinely differ and no pathwise/score
+    estimator of either matches finite differences of the other; the
+    mismatch decays as samples accumulate.)"""
+    w = foggy_world()
+    cfg = rz.RenderConfig(tracing=rz.Tracing(max_depth=4, rpp=4))
+    scene = compile_world(w)
+    cam = compile_camera(w.cameras[0])
+    state = init_state(8, 8)
+    idx = 0  # WORLD_MATERIAL_ID: the world medium is the fog
+    assert float(scene.mat_scattering[idx]) == pytest.approx(0.8)
+
+    def radiance(v, key):
+        s = scene.replace(mat_scattering=scene.mat_scattering.at[idx].set(v))
+        st = render_steps_preserve(s, cam, cfg, state, key, 4)
+        return jnp.mean(st.accum[..., :3])
+
+    lg = jax.jit(jax.value_and_grad(radiance))
+    lj = jax.jit(radiance)
+    keys = [jax.random.key(1000 + i) for i in range(48)]
+    g = float(np.mean([float(lg(jnp.float32(0.8), k)[1]) for k in keys]))
+    eps = 0.15
+    fd = float(np.mean([(float(lj(jnp.float32(0.8 + eps), k))
+                         - float(lj(jnp.float32(0.8 - eps), k))) / (2 * eps)
+                        for k in keys]))
+    assert np.isfinite(g) and g != 0.0
+    assert g == pytest.approx(fd, rel=0.15), (
+        f"scattering: score-function {g} vs multi-key fd {fd}")
