@@ -45,10 +45,21 @@ Gradients follow the established pattern: closest ids are discrete
 point carries a custom_vjp replaying the test through the dense
 differentiable projection path (transmission products are order-independent).
 
-Scenes whose cluster-frame table exceeds ``RESIDENT_CLUSTERS`` keep frames in
-HBM and DMA each visited cluster's 6 KB block into VMEM scratch
-(pltpu.make_async_copy), so scene size is HBM-bound while the AABB table
-(32 B/cluster) stays resident far past a million triangles.
+Scenes whose cluster-frame table exceeds ``RESIDENT_CLUSTERS`` keep frames
+AND per-cluster opacity rows in HBM and DMA each visited cluster's blocks
+into VMEM scratch (pltpu.make_async_copy). Residency budget per cluster:
+6 KB frames (streamed), 2 KB opacity (streamed on the shadow path), 32 B
+AABB lanes + 32 B SMEM scalars (always resident) — so the resident tables
+stay under a few MB far past a million triangles, and the f32 triangle-id
+rows bound the scene at 2^24 triangles (asserted at build).
+
+Numerical ground rules learned ON the chip (round 4): the MXU's default
+f32 mode rounds operands to bf16 (visible as missing hits at cluster
+edges), so every geometry contraction here uses split-bf16 (hi, lo) pairs
+over cluster-local ray origins; sub-8-sublane offset slices and scratch
+buffers narrower than 128 lanes mis-lower in Mosaic and are avoided
+throughout; and every one-hot/rank trick quantizes its operands to
+bf16-exact values first so single-pass MXU products stay exact.
 """
 from __future__ import annotations
 
