@@ -192,16 +192,14 @@ def _project_parts(lw, o4s_pair, d4_pair, near, limit=None):
     ``o4s_pair`` must hold CLUSTER-LOCAL ray origins (shifted by the
     cluster's box center, whose offset the frame constants absorb at build
     time): the local magnitudes keep the hi/lo expansion's f32 accumulation
-    error below ~1e-5 in barycentric units. The origin and direction
-    right-hand sides ride ONE widened contraction ([4, 2B]) — K = 4 dots
-    are MXU-latency-bound, so halving the dot count beats halving their
-    width."""
+    error below ~1e-5 in barycentric units. ol and dl stay SEPARATE
+    contractions: a merged [4, 2B] right-hand side measured no faster and
+    its [3ct, 2B] intermediates doubled the scoped-VMEM peak (mesh_heavy
+    blew the 16 MB limit by 28 KB)."""
     ct = CLUSTER_T
-    b = o4s_pair[0].shape[1]
-    rhs = (jnp.concatenate([o4s_pair[0], d4_pair[0]], axis=1),
-           jnp.concatenate([o4s_pair[1], d4_pair[1]], axis=1))
-    od = _dot_split(_split16(lw), rhs)                  # [3ct, 2B]
-    ol, dl = od[:, 0:b], od[:, b:]
+    lw_pair = _split16(lw)
+    ol = _dot_split(lw_pair, o4s_pair)                  # [3ct, B]
+    dl = _dot_split(lw_pair, d4_pair)
     olx, oly, olz = ol[0:ct], ol[ct:2 * ct], ol[2 * ct:]
     dlx, dly, dlz = dl[0:ct], dl[ct:2 * ct], dl[2 * ct:]
     # epsilon guard on the divide: a NaN/inf t from dlz == 0 relies on
