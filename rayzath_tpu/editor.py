@@ -171,8 +171,19 @@ def load_scene(world: World, path: str) -> dict:
     containers are cleared and refilled, and the content-version bump
     restarts accumulation."""
     from .io.loader import load_scene as _load
+    # load into a scratch world first: a bad path or parse error must not
+    # destroy the current (possibly unsaved) scene (round-4 advisor finding).
+    # Only after the load succeeds are the containers transplanted.
+    tmp = World()
+    result = _load(tmp, path)
     world.destroy_all()
-    result = _load(world, path)
+    for cattr in _CONTAINERS.values():
+        cont, src = getattr(world, cattr), getattr(tmp, cattr)
+        cont._objects = src._objects
+        src._objects = []
+    world.material = tmp.material
+    world.default_material = tmp.default_material
+    world.touch()
     return {"loaded": path,
             "errors": [str(m) for m in getattr(result, "errors", [])],
             "objects": {t: len(getattr(world, c))

@@ -40,7 +40,7 @@ from ..ops import texture as tex_ops
 from ..ops.gather import gather_rows
 from ..ops.intersect import (project_closest, project_shadow, refine_hit,
                              refine_tri)
-from ..ops.sort_rays import sort_perm
+from ..ops.sort_rays import sort_payload, unsort_payload
 from ..ops.traverse import bvh_closest, bvh_shadow
 from ..ops.traverse_cluster import (cluster_closest, cluster_shadow,
                                     cluster_closest_inst,
@@ -158,15 +158,16 @@ def _untile(x, hw):
 
 
 def _sort_traversal(cfg: RenderConfig, scene: DeviceScene) -> bool:
-    """Effective ray-sort decision. None = auto: sorting costs a fixed
-    ~2.7 ms per call (XLA argsort at 512^2), which only amortizes when the
-    candidate table is large enough that incoherent bounce blocks would
-    otherwise enumerate hundreds of clusters (tools/visitstats.py)."""
+    """Effective ray-sort decision. None = auto: the payload-carrying radix
+    sort (ops/sort_rays.sort_payload) costs a fixed ~0.9 ms per 512^2 call
+    (measured on-chip; the previous argsort+gather machinery cost ~18 ms),
+    and on bounce wavefronts it cuts gated cluster visits ~2-4x
+    (tools/r5probe.py) — so it pays for any scene whose candidate table is
+    big enough that blocks visit more than a handful of clusters."""
     if cfg.ray_sort is not None:
         return cfg.ray_sort
-    n_cand = (scene.ti_rows.shape[0] if scene.two_level
-              else (scene.cl_lw.shape[0] if scene.cl_lw is not None else 0))
-    return n_cand >= 192
+    n_cand = scene.n_instances if scene.two_level else scene.n_clusters
+    return n_cand >= 24
 
 
 def _run_coherent(cfg: RenderConfig, hw, o, d, extras, run, sort=False):
@@ -178,10 +179,9 @@ def _run_coherent(cfg: RenderConfig, hw, o, d, extras, run, sort=False):
     even for incoherent bounce wavefronts. Otherwise: 32x32 image tiling,
     which helps the primary-dominated passes for free."""
     if sort:
-        perm, inv = sort_perm(jax.lax.stop_gradient(o),
-                              jax.lax.stop_gradient(d))
-        outs = run(o[perm], d[perm], *[e[perm] for e in extras])
-        return tuple(x[inv] for x in outs)
+        o_s, d_s, extras_s, idx_s = sort_payload(o, d, extras)
+        outs = run(o_s, d_s, *extras_s)
+        return unsort_payload(idx_s, outs)
     if _tileable(hw, o.shape[0]):
         outs = run(_tile(o, hw), _tile(d, hw), *[_tile(e, hw) for e in extras])
         return tuple(_untile(x, hw) for x in outs)

@@ -67,6 +67,9 @@ class Renderer:
         self.key = jax.random.key(seed)
         self.scene: Optional[DeviceScene] = None
         self._scene_version = -1
+        # version-keyed sub-build memo for compile_world: geometry/BVH,
+        # per-mesh cluster tables, atlases (see compile_world docstring)
+        self._compile_cache: dict = {}
         self.views: Dict[int, CameraView] = {}
         self.time_table = TimeTable()
         # optional device pin (e.g. jax.devices("cpu")[0] for the CPU engine
@@ -80,7 +83,8 @@ class Renderer:
             self.time_table.reset()
             self.scene = compile_world(self.world,
                                        leaf_size=self.config.bvh_leaf_size,
-                                       two_level=self.config.two_level)
+                                       two_level=self.config.two_level,
+                                       cache=self._compile_cache)
             self._scene_version = v
             # world change invalidates progressive accumulation (reference
             # update-flag path, cuda_engine_renderer.cu:91-113)

@@ -167,6 +167,9 @@ class DeviceScene:
                                          default=(False,) * 5)
     n_cutout: int = struct.field(pytree_node=False, default=0)
     two_level: bool = struct.field(pytree_node=False, default=False)
+    # REAL cluster count (cluster tables are 128-bucket padded; padded rows
+    # are never-visited) — drives the ray-sort heuristic, not the shapes
+    n_clusters: int = struct.field(pytree_node=False, default=0)
 
 
 @struct.dataclass
@@ -257,6 +260,47 @@ def _pad_rows(a: np.ndarray, n: int, fill=0.0) -> np.ndarray:
     return np.concatenate([a, pad], axis=0)
 
 
+def _bucket(n: int, lo: int = 8) -> int:
+    """Smallest 2^k or 1.5 * 2^k >= n (>= lo): 8, 16, 24, 32, 48, 64, 96...
+
+    Padded array sizes quantize to these buckets so an edit that adds or
+    removes a few triangles/clusters keeps every device shape — and with it
+    the whole jit cache — stable (reference analog: the CUDA mirror reuses
+    its allocations, cuda_object_container.cuh:42-150; here the shapes ARE
+    the allocation)."""
+    import math
+    if n <= lo:
+        return lo
+    k = 2 ** int(math.floor(math.log2(n)))
+    for c in (k, k * 3 // 2, k * 2):
+        if c >= n:
+            return c
+    return k * 2
+
+
+def _chain_key(inst):
+    ks = []
+    g = inst.group
+    while g is not None:
+        ks.append((id(g), getattr(g, "version", 0)))
+        g = g.parent
+    return tuple(ks)
+
+
+def _geometry_key(world: World, leaf_size: int):
+    """Cache key covering everything the flattened world-space geometry
+    depends on: instance identity/version (includes transform + material
+    slot edits), mesh identity/version, and the group chain versions."""
+    parts = []
+    for inst in world.instances:
+        m = inst.mesh
+        parts.append((id(inst), getattr(inst, "version", 0), id(m),
+                      getattr(m, "version", 0) if m is not None else -1,
+                      m.triangle_count if m is not None else 0,
+                      _chain_key(inst)))
+    return ("soup_geo", leaf_size, tuple(parts))
+
+
 def _mesh_object_arrays(mesh):
     """Object-space SoA shading arrays for one mesh (original triangle order):
     (v0, e1, e2, n0, n1, n2, t0, t1, t2, slot)."""
@@ -307,15 +351,57 @@ def _resolve_mat(mat_index: dict, mat, inst_name: str) -> int:
     return mid
 
 
-def _two_level_arrays(world: World, mat_index: dict) -> dict:
+def _aabb_l2g(fwd, cmin, cmax):
+    """World AABBs of object-space boxes under a 3x4 transform, vectorized
+    over boxes ([C,3] each): per output axis, sum the per-input-axis
+    min/max of L_ij * {cmin_j, cmax_j} (exact for affine transforms)."""
+    lin = fwd[:, :3]
+    m1 = cmin[:, None, :] * lin[None, :, :]
+    m2 = cmax[:, None, :] * lin[None, :, :]
+    lo = np.minimum(m1, m2).sum(-1) + fwd[:, 3]
+    hi = np.maximum(m1, m2).sum(-1) + fwd[:, 3]
+    return lo.astype(np.float32), hi.astype(np.float32)
+
+
+def _mesh_cluster_block(m, cache: Optional[dict]):
+    """Object-space cluster tables + reordered shading arrays for one mesh,
+    memoized by (id, version): a transform-or-material edit re-uses every
+    untouched mesh's BLAS build (reference per-object re-mirror)."""
+    key = ("mesh_cl", id(m), getattr(m, "version", 0))
+    if cache is not None:
+        hit = cache.get(key)
+        if hit is not None:
+            return hit
+    from ..ops.traverse_cluster import (build_cluster_tables, B_MIN, B_MAX)
+    v0, e1, e2, n0, n1, n2, t0, t1, t2, slot = _mesh_object_arrays(m)
+    box_m, frames_m, order_m, base_m, count_m = build_cluster_tables(v0, e1, e2)
+    o = order_m
+    c = int((count_m > 0).sum())   # REAL clusters (tables are 128-padded)
+    value = dict(
+        arrays=tuple(a[o] for a in (v0, e1, e2, n0, n1, n2, t0, t1, t2)),
+        slot=slot[o], frames=frames_m, base=base_m, count=count_m,
+        cmin=box_m[B_MIN:B_MIN + 3, :c].T.copy(),
+        cmax=box_m[B_MAX:B_MAX + 3, :c].T.copy(),
+        obox6=box_m.T[:, :6].copy(),   # padded rows (inverted pad boxes)
+        ref=m)
+    if cache is not None:
+        for stale in [k2 for k2 in cache
+                      if isinstance(k2, tuple) and k2[0] == "mesh_cl"
+                      and k2[1] == id(m) and k2 != key]:
+            del cache[stale]
+        cache[key] = value
+    return value
+
+
+def _two_level_arrays(world: World, mat_index: dict,
+                      cache: Optional[dict] = None) -> dict:
     """Two-level geometry: shared per-mesh object-space cluster tables +
     per-instance transforms + flat unit table over (instance x cluster).
     The non-duplicating counterpart of the world-space soup (reference
     TLAS/BLAS semantics, cuda_bvh.cuh:114-171 + cuda_instance.cuh:167-264,
     mapped onto the cluster traversal of ops/traverse_cluster.py)."""
-    from ..ops.traverse_cluster import (build_cluster_tables,
-                                        build_instance_tables,
-                                        cluster_slot_rows, _transform_aabb,
+    from ..ops.traverse_cluster import (build_instance_tables,
+                                        cluster_slot_rows,
                                         B_MIN, B_MAX, B_BASE, B_CNT)
     meshes: list = []
     mesh_pos: dict[int, int] = {}
@@ -331,30 +417,29 @@ def _two_level_arrays(world: World, mat_index: dict) -> dict:
 
     arrays = [[] for _ in range(9)]
     slots = []
-    frames_parts, base_parts, count_parts = [], [], []
-    mesh_cmin, mesh_cmax = [], []        # object-space cluster boxes per mesh
+    frames_parts, base_parts, count_parts, obox_parts = [], [], [], []
+    mesh_cmin, mesh_cmax = [], []        # REAL object-space boxes per mesh
     mesh_slot_base: list[int] = []       # first global cluster slot per mesh
+    mesh_ncl: list[int] = []             # real cluster count per mesh
     mesh_tri_base: list[int] = []
     tri_base = 0
     slot_base = 0
     for m in meshes:
-        v0, e1, e2, n0, n1, n2, t0, t1, t2, slot = _mesh_object_arrays(m)
-        box_m, frames_m, order_m, base_m, count_m = build_cluster_tables(
-            v0, e1, e2)
-        o = order_m
-        for lst, arr in zip(arrays, (v0, e1, e2, n0, n1, n2, t0, t1, t2)):
-            lst.append(arr[o])
-        slots.append(slot[o])
-        c = len(base_m)
-        frames_parts.append(frames_m)
-        base_parts.append(base_m + tri_base)
-        count_parts.append(count_m)
-        mesh_cmin.append(box_m[B_MIN:B_MIN + 3, :c].T.copy())
-        mesh_cmax.append(box_m[B_MAX:B_MAX + 3, :c].T.copy())
+        blk = _mesh_cluster_block(m, cache)
+        for lst, arr in zip(arrays, blk["arrays"]):
+            lst.append(arr)
+        slots.append(blk["slot"])
+        frames_parts.append(blk["frames"])
+        base_parts.append(blk["base"] + tri_base)
+        count_parts.append(blk["count"])
+        obox_parts.append(blk["obox6"])
+        mesh_cmin.append(blk["cmin"])
+        mesh_cmax.append(blk["cmax"])
         mesh_slot_base.append(slot_base)
+        mesh_ncl.append(len(blk["cmin"]))
         mesh_tri_base.append(tri_base)
-        slot_base += c
-        tri_base += len(v0)
+        slot_base += len(blk["base"])    # padded length: concat offsets
+        tri_base += len(blk["arrays"][0])
 
     n_inst_total = len(world.instances)
     inst_fwd = np.tile(np.eye(3, 4, dtype=np.float32).reshape(1, 12),
@@ -376,15 +461,11 @@ def _two_level_arrays(world: World, mat_index: dict) -> dict:
                 inst_slot_map[gi, s_] = _resolve_mat(mat_index, mat,
                                                      inst.name)
         cmin, cmax = mesh_cmin[mi], mesh_cmax[mi]
-        # world AABB of the whole instance = union of its cluster boxes
-        wlo = np.full(3, 3e38, np.float32)
-        whi = np.full(3, -3e38, np.float32)
-        for ci in range(len(cmin)):
-            wmin, wmax = _transform_aabb(fwd, cmin[ci], cmax[ci])
-            wlo = np.minimum(wlo, wmin)
-            whi = np.maximum(whi, wmax)
-        i_min.append(wlo)
-        i_max.append(whi)
+        # world AABB of the whole instance = union of its transformed
+        # cluster boxes (vectorized; exact for affine transforms)
+        wmin, wmax = _aabb_l2g(fwd, cmin, cmax)
+        i_min.append(wmin.min(0))
+        i_max.append(wmax.max(0))
         i_inv.append(inv)
         i_cl0.append(mesh_slot_base[mi])
         i_ncl.append(len(cmin))
@@ -405,8 +486,7 @@ def _two_level_arrays(world: World, mat_index: dict) -> dict:
         cl_base = np.concatenate(base_parts)
         cl_count = np.concatenate(count_parts)
         cl_obox = np.zeros((len(cl_base), 8), np.float32)
-        cl_obox[:, B_MIN:B_MIN + 3] = np.concatenate(mesh_cmin)
-        cl_obox[:, B_MAX:B_MAX + 3] = np.concatenate(mesh_cmax)
+        cl_obox[:, :6] = np.concatenate(obox_parts)
         cl_obox[:, B_BASE] = cl_base.astype(np.float32)
         cl_obox[:, B_CNT] = cl_count.astype(np.float32)
     else:
@@ -434,7 +514,7 @@ def _two_level_arrays(world: World, mat_index: dict) -> dict:
         tri_slot = np.zeros(0, np.int32)
 
     n_tri = tri_base
-    n_tri_pad = max(8, -(-n_tri // 8) * 8)
+    n_tri_pad = _bucket(n_tri)
     geo = dict(
         tri_v0=jnp.asarray(_pad_rows(tri_v0, n_tri_pad, 1e30)),
         tri_e1=jnp.asarray(_pad_rows(tri_e1, n_tri_pad, 0.0)),
@@ -487,7 +567,8 @@ def _two_level_arrays(world: World, mat_index: dict) -> dict:
 
 
 def compile_world(world: World, leaf_size: int = 8,
-                  two_level: Optional[bool] = None) -> DeviceScene:
+                  two_level: Optional[bool] = None,
+                  cache: Optional[dict] = None) -> DeviceScene:
     """Flatten the host world into a DeviceScene (see module docstring).
 
     ``two_level`` selects the acceleration structure: False = world-space
@@ -496,7 +577,14 @@ def compile_world(world: World, leaf_size: int = 8,
     instances (reference two-level semantics; scales past VMEM via streaming).
     None (default) picks automatically: two-level when instancing would
     duplicate substantially or the expanded soup would overflow the resident
-    packet table."""
+    packet table.
+
+    ``cache``: optional dict (owned by the caller, e.g. the Renderer) that
+    memoizes the expensive version-keyed sub-builds — the world-space
+    geometry+BVH+cluster block, per-mesh object-space cluster tables, and
+    the texture atlases — so a materials-or-lights-only edit re-flattens
+    nothing but the cheap binding tables (reference incremental re-mirror,
+    updatable.hpp:10-54 + cuda_object_container.cuh:42-150)."""
     # ---- material table ----
     materials: list[Material] = [world.material, world.default_material] + list(world.materials)
     mat_index = {id(m): i for i, m in enumerate(materials)}
@@ -508,9 +596,21 @@ def compile_world(world: World, leaf_size: int = 8,
     all_maps = color_maps + scalar_maps
     map_id = {id(m): i for i, m in enumerate(all_maps)}
 
-    color_atlas, color_rects = _pack_shelf(color_maps, 4)
-    scalar_atlas3, scalar_rects = _pack_shelf(scalar_maps, 1)
-    scalar_atlas = scalar_atlas3[:, :, 0]
+    akey = ("atlas", tuple((id(m), getattr(m, "version", 0))
+                           for m in all_maps))
+    if cache is not None and akey in cache:
+        color_atlas, color_rects, scalar_atlas, scalar_rects = \
+            cache[akey]["v"]
+    else:
+        color_atlas, color_rects = _pack_shelf(color_maps, 4)
+        scalar_atlas3, scalar_rects = _pack_shelf(scalar_maps, 1)
+        scalar_atlas = scalar_atlas3[:, :, 0]
+        if cache is not None:
+            for stale in [k2 for k2 in cache
+                          if isinstance(k2, tuple) and k2[0] == "atlas"]:
+                del cache[stale]
+            cache[akey] = {"v": (color_atlas, color_rects, scalar_atlas,
+                                 scalar_rects), "refs": list(all_maps)}
     k = len(all_maps)
     map_rect = np.zeros((max(k, 1), 4), np.int32)
     map_flags = np.zeros((max(k, 1), 3), np.int32)
@@ -539,9 +639,6 @@ def compile_world(world: World, leaf_size: int = 8,
         np.int32,
     )
 
-    # ---- texture-alpha shadow cutout set (both modes) ----
-    cut_fields = _cutout_fields(world, mat_index, mat_color, mat_maps)
-    n_cutout = cut_fields.pop("n_cutout")
     map_kinds_used = tuple(bool((mat_maps[:, k] >= 0).any()) for k in range(5))
 
     # ---- acceleration-structure mode ----
@@ -558,7 +655,9 @@ def compile_world(world: World, leaf_size: int = 8,
         two_level = expanded > 8192 and expanded >= 2 * unique
 
     if two_level:
-        geo, n_tri = _two_level_arrays(world, mat_index)
+        cut_fields = _cutout_fields(world, mat_index, mat_color, mat_maps)
+        n_cutout = cut_fields.pop("n_cutout")
+        geo, n_tri = _two_level_arrays(world, mat_index, cache)
         return DeviceScene(
             **geo,
             **cut_fields, n_cutout=n_cutout,
@@ -576,15 +675,84 @@ def compile_world(world: World, leaf_size: int = 8,
             two_level=True,
         )
 
-    # ---- world-space triangle soup ----
+    # ---- world-space triangle soup (geometry block cached by version) ----
+    geo = _soup_geometry(world, leaf_size, cache)
+    n_tri = geo["n_tri"]
+    n_tri_pad = geo["n_tri_pad"]
+
+    # material binding (cheap, rebuilt every compile so edits/training are
+    # never stale): instance slot tables -> per-triangle global material ids
+    n_inst_total = len(world.instances)
+    slot_tables = np.full((max(n_inst_total, 1), 64), DEFAULT_MATERIAL_ID,
+                          np.int32)
+    for inst_id, inst in enumerate(world.instances):
+        for s, mat in enumerate(inst.materials[:64]):
+            if mat is not None:
+                slot_tables[inst_id, s] = _resolve_mat(mat_index, mat,
+                                                       inst.name)
+    inst_rows = geo["inst_rows"]
+    tri_mat = np.where(
+        inst_rows >= 0,
+        slot_tables[np.clip(inst_rows, 0, None), geo["slot_rows"]],
+        DEFAULT_MATERIAL_ID).astype(np.int32)
+    tri_pack = _pack_tri_rows(geo["tri_v0"], geo["tri_e1"], geo["tri_e2"],
+                              geo["tri_n0"], geo["tri_n1"], geo["tri_n2"],
+                              geo["tri_t0"], geo["tri_t1"], geo["tri_t2"],
+                              tri_mat, inst_rows)
+    cut_fields = _cutout_from_soup(geo, tri_mat, mat_color, mat_maps)
+    n_cutout = cut_fields.pop("n_cutout")
+
+    return DeviceScene(
+        **geo["cl_fields"],
+        **cut_fields, n_cutout=n_cutout,
+        tri_v0=jnp.asarray(geo["tri_v0"]), tri_e1=jnp.asarray(geo["tri_e1"]),
+        tri_e2=jnp.asarray(geo["tri_e2"]),
+        tri_n0=jnp.asarray(geo["tri_n0"]), tri_n1=jnp.asarray(geo["tri_n1"]),
+        tri_n2=jnp.asarray(geo["tri_n2"]),
+        tri_t0=jnp.asarray(geo["tri_t0"]), tri_t1=jnp.asarray(geo["tri_t1"]),
+        tri_t2=jnp.asarray(geo["tri_t2"]),
+        tri_mat=jnp.asarray(tri_mat), tri_inst=jnp.asarray(inst_rows),
+        tri_pw=geo["tri_pw"], tri_pc=geo["tri_pc"],
+        tri_pack=jnp.asarray(tri_pack),
+        aabb_links=geo["aabb_links"],
+        node_begin=geo["node_begin"], node_count=geo["node_count"],
+        mat_color=jnp.asarray(mat_color), mat_metalness=jnp.asarray(mat_metalness),
+        mat_roughness=jnp.asarray(mat_roughness), mat_emission=jnp.asarray(mat_emission),
+        mat_ior=jnp.asarray(mat_ior), mat_scattering=jnp.asarray(mat_scattering),
+        mat_maps=jnp.asarray(mat_maps),
+        **_atlas_fields(color_atlas, scalar_atlas, map_rect, map_flags, map_uv),
+        **_light_fields(world),
+        n_triangles=n_tri, n_materials=n_mat,
+        n_spot_lights=len(world.spot_lights),
+        n_direct_lights=len(world.direct_lights),
+        n_instances=len(world.instances),
+        has_maps=k > 0, map_kinds_used=map_kinds_used,
+    )
+
+
+def _soup_geometry(world: World, leaf_size: int, cache: Optional[dict]):
+    """Flatten instances into the world-space soup, build the BVH + cluster
+    tables, pad to bucketed shapes. Material-INDEPENDENT (slots are kept
+    mesh-local), so any materials-only edit reuses this block wholesale via
+    ``cache`` — the reference analog of StateRegister-guarded re-mirroring
+    (updatable.hpp:10-54): untouched geometry is neither re-transformed nor
+    re-BVH-built."""
+    key = _geometry_key(world, leaf_size)
+    if cache is not None:
+        hit = cache.get(key)
+        if hit is not None:
+            return hit
+
     v0s, e1s, e2s = [], [], []
     n0s, n1s, n2s = [], [], []
     t0s, t1s, t2s = [], [], []
-    mats, insts = [], []
+    slots, insts = [], []
+    refs = []
     for inst_id, inst in enumerate(world.instances):
         mesh = inst.mesh
         if mesh is None or mesh.triangle_count == 0:
             continue
+        refs.append((inst, mesh))
         tr = inst.effective_transform()
         wv = tr.points_l2g(mesh.vertices).astype(np.float32)
         v0 = wv[mesh.tri_v[:, 0]]
@@ -612,29 +780,22 @@ def compile_world(world: World, leaf_size: int = 8,
             t0, t1, t2 = vtx_uv(0), vtx_uv(1), vtx_uv(2)
         else:
             t0 = t1 = t2 = np.zeros((len(v0), 2), np.float32)
-        # resolve material slots -> global ids (reference cuda_instance.cuh:234)
-        slot_table = np.full(64, DEFAULT_MATERIAL_ID, np.int32)
-        for s, mat in enumerate(inst.materials[:64]):
-            if mat is not None:
-                slot_table[s] = _resolve_mat(mat_index, mat, inst.name)
-        gmat = slot_table[np.clip(mesh.tri_mat, 0, 63)]
-
         v0s.append(v0); e1s.append(v1 - v0); e2s.append(v2 - v0)
         n0s.append(n0); n1s.append(n1); n2s.append(n2)
         t0s.append(t0); t1s.append(t1); t2s.append(t2)
-        mats.append(gmat)
+        slots.append(np.clip(mesh.tri_mat, 0, 63).astype(np.int32))
         insts.append(np.full(len(v0), inst_id, np.int32))
 
     if v0s:
         tri_v0 = np.concatenate(v0s); tri_e1 = np.concatenate(e1s); tri_e2 = np.concatenate(e2s)
         tri_n0 = np.concatenate(n0s); tri_n1 = np.concatenate(n1s); tri_n2 = np.concatenate(n2s)
         tri_t0 = np.concatenate(t0s); tri_t1 = np.concatenate(t1s); tri_t2 = np.concatenate(t2s)
-        tri_mat = np.concatenate(mats); tri_inst = np.concatenate(insts)
+        slot_rows = np.concatenate(slots); inst_rows = np.concatenate(insts)
     else:
         tri_v0 = tri_e1 = tri_e2 = np.zeros((0, 3), np.float32)
         tri_n0 = tri_n1 = tri_n2 = np.zeros((0, 3), np.float32)
         tri_t0 = tri_t1 = tri_t2 = np.zeros((0, 2), np.float32)
-        tri_mat = np.zeros(0, np.int32); tri_inst = np.zeros(0, np.int32)
+        slot_rows = np.zeros(0, np.int32); inst_rows = np.zeros(0, np.int32)
 
     n_tri = len(tri_v0)
 
@@ -646,7 +807,7 @@ def compile_world(world: World, leaf_size: int = 8,
         tri_v0, tri_e1, tri_e2 = tri_v0[o], tri_e1[o], tri_e2[o]
         tri_n0, tri_n1, tri_n2 = tri_n0[o], tri_n1[o], tri_n2[o]
         tri_t0, tri_t1, tri_t2 = tri_t0[o], tri_t1[o], tri_t2[o]
-        tri_mat, tri_inst = tri_mat[o], tri_inst[o]
+        slot_rows, inst_rows = slot_rows[o], inst_rows[o]
     else:
         bvh = build_bvh(np.zeros((0, 3)), np.zeros((0, 3)))
     first8, skip8 = compute_skip_links(bvh.node_begin, bvh.node_count,
@@ -654,8 +815,9 @@ def compile_world(world: World, leaf_size: int = 8,
     aabb_links = build_aabb_links(bvh.node_min, bvh.node_max, bvh.node_count,
                                   first8, skip8)
 
-    # pad triangles so the padded tail never hits (v0 far away, degenerate edges)
-    n_tri_pad = max(8, -(-n_tri // 8) * 8)
+    # pad to a bucketed size so small geometry edits keep shapes (and the
+    # jit cache) stable; the padded tail never hits (v0 far, zero edges)
+    n_tri_pad = _bucket(n_tri)
     tri_v0 = _pad_rows(tri_v0, n_tri_pad, 1e30)
     tri_e1 = _pad_rows(tri_e1, n_tri_pad, 0.0)
     tri_e2 = _pad_rows(tri_e2, n_tri_pad, 0.0)
@@ -665,12 +827,9 @@ def compile_world(world: World, leaf_size: int = 8,
     tri_t0 = _pad_rows(tri_t0, n_tri_pad, 0.0)
     tri_t1 = _pad_rows(tri_t1, n_tri_pad, 0.0)
     tri_t2 = _pad_rows(tri_t2, n_tri_pad, 0.0)
-    tri_mat = _pad_rows(tri_mat, n_tri_pad, DEFAULT_MATERIAL_ID)
-    tri_inst = _pad_rows(tri_inst, n_tri_pad, -1)
+    slot_rows = _pad_rows(slot_rows, n_tri_pad, 0)
+    inst_rows = _pad_rows(inst_rows, n_tri_pad, -1)
     tri_pw, tri_pc = triangle_frames(tri_v0, tri_e1, tri_e2)
-    tri_pack = _pack_tri_rows(tri_v0, tri_e1, tri_e2, tri_n0, tri_n1,
-                              tri_n2, tri_t0, tri_t1, tri_t2, tri_mat,
-                              tri_inst)
 
     # cluster tables (the fast traversal past cfg.brute_force_threshold).
     # Built for every non-empty scene: tiny scenes cost one ~8 KB cluster,
@@ -683,32 +842,56 @@ def compile_world(world: World, leaf_size: int = 8,
             tri_v0[:n_tri], tri_e1[:n_tri], tri_e2[:n_tri])
         cl_fields = dict(
             cl_box=jnp.asarray(cl_box), cl_lw=jnp.asarray(cl_lw),
-            cl_order=jnp.asarray(cl_order), cl_base=jnp.asarray(cl_base),
-            cl_count=jnp.asarray(cl_count))
+            # order padded to the triangle bucket so its shape is stable too
+            cl_order=jnp.asarray(_pad_rows(cl_order, n_tri_pad, 0)),
+            cl_base=jnp.asarray(cl_base),
+            cl_count=jnp.asarray(cl_count),
+            n_clusters=int((cl_count > 0).sum()))
 
-    return DeviceScene(
-        **cl_fields,
-        **cut_fields, n_cutout=n_cutout,
-        tri_v0=jnp.asarray(tri_v0), tri_e1=jnp.asarray(tri_e1), tri_e2=jnp.asarray(tri_e2),
-        tri_n0=jnp.asarray(tri_n0), tri_n1=jnp.asarray(tri_n1), tri_n2=jnp.asarray(tri_n2),
-        tri_t0=jnp.asarray(tri_t0), tri_t1=jnp.asarray(tri_t1), tri_t2=jnp.asarray(tri_t2),
-        tri_mat=jnp.asarray(tri_mat), tri_inst=jnp.asarray(tri_inst),
+    value = dict(
+        n_tri=n_tri, n_tri_pad=n_tri_pad,
+        tri_v0=tri_v0, tri_e1=tri_e1, tri_e2=tri_e2,
+        tri_n0=tri_n0, tri_n1=tri_n1, tri_n2=tri_n2,
+        tri_t0=tri_t0, tri_t1=tri_t1, tri_t2=tri_t2,
+        slot_rows=slot_rows, inst_rows=inst_rows,
         tri_pw=jnp.asarray(tri_pw), tri_pc=jnp.asarray(tri_pc),
-        tri_pack=jnp.asarray(tri_pack),
         aabb_links=jnp.asarray(aabb_links),
-        node_begin=jnp.asarray(bvh.node_begin), node_count=jnp.asarray(bvh.node_count),
-        mat_color=jnp.asarray(mat_color), mat_metalness=jnp.asarray(mat_metalness),
-        mat_roughness=jnp.asarray(mat_roughness), mat_emission=jnp.asarray(mat_emission),
-        mat_ior=jnp.asarray(mat_ior), mat_scattering=jnp.asarray(mat_scattering),
-        mat_maps=jnp.asarray(mat_maps),
-        **_atlas_fields(color_atlas, scalar_atlas, map_rect, map_flags, map_uv),
-        **_light_fields(world),
-        n_triangles=n_tri, n_materials=n_mat,
-        n_spot_lights=len(world.spot_lights),
-        n_direct_lights=len(world.direct_lights),
-        n_instances=len(world.instances),
-        has_maps=k > 0, map_kinds_used=map_kinds_used,
+        node_begin=jnp.asarray(bvh.node_begin),
+        node_count=jnp.asarray(bvh.node_count),
+        cl_fields=cl_fields,
+        refs=refs,  # pin object identity: id() reuse cannot false-hit
     )
+    if cache is not None:
+        for stale in [k2 for k2 in cache
+                      if isinstance(k2, tuple) and k2[0] == "soup_geo"]:
+            del cache[stale]
+        cache[key] = value
+    return value
+
+
+def _cutout_from_soup(geo: dict, tri_mat: np.ndarray, mat_color, mat_maps):
+    """Texture-alpha shadow cutout set, derived from the (cached) flattened
+    soup instead of re-transforming instances: a triangle is a cutout when
+    its resolved material has a color texture AND base alpha < 1 (reference
+    cuda_material.cuh:86-95 semantics; see _cutout_fields)."""
+    n_tri = geo["n_tri"]
+    tm = tri_mat[:n_tri]
+    sel = (mat_maps[tm, 0] >= 0) & (mat_color[tm, 3] < 1.0 - 1e-6)
+    if not sel.any():
+        return dict(n_cutout=0)
+    v0 = geo["tri_v0"][:n_tri][sel]
+    e1 = geo["tri_e1"][:n_tri][sel]
+    e2 = geo["tri_e2"][:n_tri][sel]
+    pw, pc = triangle_frames(v0, e1, e2)
+    return dict(
+        cut_pw=jnp.asarray(pw), cut_pc=jnp.asarray(pc),
+        cut_v0=jnp.asarray(v0), cut_e1=jnp.asarray(e1),
+        cut_e2=jnp.asarray(e2),
+        cut_t0=jnp.asarray(geo["tri_t0"][:n_tri][sel]),
+        cut_t1=jnp.asarray(geo["tri_t1"][:n_tri][sel]),
+        cut_t2=jnp.asarray(geo["tri_t2"][:n_tri][sel]),
+        cut_map=jnp.asarray(mat_maps[tm[sel], 0].astype(np.int32)),
+        n_cutout=int(sel.sum()))
 
 
 def _cutout_fields(world: World, mat_index, mat_color, mat_maps) -> dict:

@@ -184,12 +184,19 @@ class World:
         return self.groups.create(Group(name=name, **kwargs))
 
     def destroy_all(self) -> None:
-        """Reference World::destroyAll (world.cpp:81-99)."""
+        """Reference World::destroyAll (world.cpp:81-99). The sky and default
+        materials are reset to fresh defaults: container.clear() bypasses
+        per-object _detach, and a stale map reference on the surviving
+        world.material would silently keep rendering the previous scene's
+        sky texture after a load (round-4 advisor finding)."""
         for c in (self.textures, self.normal_maps, self.metalness_maps,
                   self.roughness_maps, self.emission_maps, self.materials,
                   self.meshes, self.cameras, self.spot_lights, self.direct_lights,
                   self.instances, self.groups):
             c.clear()
+        self.material = world_default_material()
+        self.default_material = default_surface_material()
+        self.touch()
 
     # -- scene IO (reference World::loader()/saver(), world.hpp) ----------------
     def load_scene(self, path: str):

@@ -86,3 +86,68 @@ def sort_perm(origin, direction):
         jnp.arange(r, dtype=jnp.int32), unique_indices=True,
         indices_are_sorted=False)
     return perm, inv
+
+
+def sort_payload(origin, direction, extras):
+    """Coherence-sort rays carrying every per-ray column THROUGH the radix
+    sort instead of gathering after an argsort.
+
+    Measured on-chip (tools/r5probe.py): the argsort + row-gather + scatter
+    machinery of :func:`sort_perm` costs ~14 ms per 512^2 call — an order of
+    magnitude over the traversal it accelerates on small scenes — because
+    XLA row gathers run ~3.4 ms each at this size. ``lax.sort`` with payload
+    operands moves the data WITH the keys in one radix pass.
+
+    Returns (o_s, d_s, extras_s, idx_s) where ``idx_s`` is the original row
+    index of each sorted row; undo with :func:`unsort_payload`.
+    """
+    r = origin.shape[0]
+    keys = coherence_keys(jax.lax.stop_gradient(origin),
+                          jax.lax.stop_gradient(direction))
+    cols = ([origin[:, k] for k in range(3)]
+            + [direction[:, k] for k in range(3)])
+    widths = []
+    for e in extras:
+        if e.ndim == 1:
+            cols.append(e)
+            widths.append(1)
+        else:
+            cols.extend(e[:, k] for k in range(e.shape[1]))
+            widths.append(e.shape[1])
+    cols.append(jnp.arange(r, dtype=jnp.int32))
+    out = jax.lax.sort((keys, *cols), num_keys=1)
+    o_s = jnp.stack(out[1:4], axis=1)
+    d_s = jnp.stack(out[4:7], axis=1)
+    extras_s = []
+    p = 7
+    for w in widths:
+        if w == 1:
+            extras_s.append(out[p])
+        else:
+            extras_s.append(jnp.stack(out[p:p + w], axis=1))
+        p += w
+    return o_s, d_s, tuple(extras_s), out[-1]
+
+
+def unsort_payload(idx_s, outs):
+    """Scatter traversal results back to original ray order by sorting on
+    the carried original-row index (a second radix pass — no XLA scatter)."""
+    cols = []
+    widths = []
+    for e in outs:
+        if e.ndim == 1:
+            cols.append(e)
+            widths.append(1)
+        else:
+            cols.extend(e[:, k] for k in range(e.shape[1]))
+            widths.append(e.shape[1])
+    back = jax.lax.sort((idx_s, *cols), num_keys=1)
+    result = []
+    p = 1
+    for w in widths:
+        if w == 1:
+            result.append(back[p])
+        else:
+            result.append(jnp.stack(back[p:p + w], axis=1))
+        p += w
+    return tuple(result)

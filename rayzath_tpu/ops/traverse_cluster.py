@@ -63,6 +63,8 @@ bf16-exact values first so single-pass MXU products stay exact.
 """
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -107,12 +109,24 @@ def mosaic_supported() -> bool:
             _MOSAIC_OK = False
         else:
             try:
-                def k(x_ref, o_ref):
-                    o_ref[:, :] = x_ref[:, :] + 1.0
+                # the probe exercises the pltpu features the real kernels
+                # rely on (an SMEM input BlockSpec + VMEM scratch): a
+                # non-TPU Pallas backend that can compile a trivial VMEM
+                # kernel but not these would otherwise pass the probe and
+                # crash later in the real traversal (round-4 advisor finding)
+                def k(s_ref, x_ref, o_ref, scratch):
+                    scratch[:, :] = x_ref[:, :] + s_ref[0, 0]
+                    o_ref[:, :] = scratch[:, :]
 
                 out = pl.pallas_call(
                     k, out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
-                )(jnp.zeros((8, 128), jnp.float32))
+                    in_specs=[pl.BlockSpec((1, 8), lambda: (0, 0),
+                                           memory_space=pltpu.SMEM),
+                              pl.BlockSpec((8, 128), lambda: (0, 0),
+                                           memory_space=pltpu.VMEM)],
+                    scratch_shapes=[pltpu.VMEM((8, 128), jnp.float32)],
+                )(jnp.ones((1, 8), jnp.float32),
+                  jnp.zeros((8, 128), jnp.float32))
                 jax.block_until_ready(out)
                 _MOSAIC_OK = True
             except Exception as e:  # noqa: BLE001 - any compile failure
@@ -148,42 +162,81 @@ def _frames_jnp(v0, e1, e2):
 
 
 def _split16(x):
-    """bf16 (hi, lo) decomposition: x == hi + lo to within f32 rounding."""
-    hi = x.astype(jnp.bfloat16)
-    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    return hi, lo
+    """bf16 limb decomposition of f32 values.
+
+    2 limbs (hi, lo) reconstruct x to ~2^-17 relative — enough when the
+    contraction's operands are O(cluster size), NOT enough for cluster-local
+    ray origins of distant cameras (measured: 200-unit origins lost ~1.5e-3
+    absolute in local units and flipped near-edge hits). 3 limbs carry the
+    full 24-bit f32 mantissa at any magnitude, and under the K-stacked dot
+    (_dot_split) the extra limb costs NO additional MXU pass — the term
+    count grows from 4 to 6 along the contraction axis (K=24 < 128)."""
+    limbs = []
+    r = x
+    for _ in range(_LIMBS - 1):
+        h = r.astype(jnp.bfloat16)
+        limbs.append(h)
+        r = r - h.astype(jnp.float32)
+    limbs.append(r.astype(jnp.bfloat16))
+    return tuple(limbs)
 
 
 def _dot_split(a_pair, b_pair):
-    """f32-accurate contraction from four single-pass bf16 MXU products.
+    """f32-accurate contraction from bf16 MXU products.
 
     The MXU's DEFAULT f32 mode rounds operands to bf16 (measured: 17/221
     brute-force hits missing at cluster edges), and HIGHEST runs 6 passes
     (~3x whole-call cost on visit-bound scenes). bf16 inputs go through
-    the MXU losslessly, so (hi+lo)x(hi+lo) expanded into four bf16 dots
-    with f32 accumulation reconstructs the product to ~2^-23 — exact for
-    this use — at ~1/3 the HIGHEST pass count."""
-    a_hi, a_lo = a_pair
-    b_hi, b_lo = b_pair
+    the MXU losslessly, so (hi+lo)x(hi+lo) expanded into four bf16 cross
+    products with f32 accumulation reconstructs the product to ~2^-23 —
+    exact for this use.
+
+    ksplit (default): the four cross products are STACKED ALONG THE
+    CONTRACTION AXIS into one K=16 dot — the geometry contractions here
+    contract over a K of only 4, while an MXU pass natively reduces
+    K=128, so four separate K=4 passes waste ~4x pass latency for the
+    identical sum. Measured (tools/r5probe.py): the 4-dot form ran the
+    36-tri Cornell closest call at 1.72 ms vs 0.71 ms for one pass —
+    the stack recovers that gap with bit-equivalent math (same four
+    products, f32 accumulation in a different order)."""
     dims = (((0,), (0,)), ((), ()))
 
     def d(a, b):
         return jax.lax.dot_general(a, b, dims,
                                    preferred_element_type=jnp.float32)
 
-    return ((d(a_hi, b_hi) + d(a_hi, b_lo))
-            + (d(a_lo, b_hi) + d(a_lo, b_lo)))
+    if DOT_MODE == "single":        # measurement probe only: parity-broken
+        return d(a_pair[0], b_pair[0])
+    if DOT_MODE == "split3":
+        a_hi, a_lo = a_pair
+        b_hi, b_lo = b_pair
+        return d(a_hi, b_hi) + (d(a_hi, b_lo) + d(a_lo, b_hi))
+    if DOT_MODE == "split4":
+        a_hi, a_lo = a_pair
+        b_hi, b_lo = b_pair
+        return ((d(a_hi, b_hi) + d(a_hi, b_lo))
+                + (d(a_lo, b_hi) + d(a_lo, b_lo)))
+    # K-stack: every cross product whose combined limb order stays above
+    # the f32 accumulation floor (i + j <= 2 keeps terms >= ~2^-27 rel;
+    # smaller terms drown in the f32 accumulate anyway)
+    terms = [(a, b) for i, a in enumerate(a_pair)
+             for j, b in enumerate(b_pair) if i + j <= 2]
+    ak = jnp.concatenate([t[0] for t in terms], axis=0)
+    bk = jnp.concatenate([t[1] for t in terms], axis=0)
+    return d(ak, bk)
 
 
 def _dot_oh(oh16, vals, dims):
     """Exact one-hot contraction: the one-hot factor is bf16-exact, the
-    f32 values ride through as a bf16 (hi, lo) pair (see _dot_split)."""
-    hi, lo = _split16(vals)
-    a = jax.lax.dot_general(oh16, hi, dims,
-                            preferred_element_type=jnp.float32)
-    b = jax.lax.dot_general(oh16, lo, dims,
-                            preferred_element_type=jnp.float32)
-    return a + b
+    f32 values ride through as a bf16 (hi, lo) pair stacked along the
+    contraction axis (one MXU pass; see _dot_split)."""
+    limbs = _split16(vals)
+    ca = dims[0][0][0]
+    cb = dims[0][1][0]
+    oh2 = jnp.concatenate([oh16] * len(limbs), axis=ca)
+    v2 = jnp.concatenate(limbs, axis=cb)
+    return jax.lax.dot_general(oh2, v2, dims,
+                               preferred_element_type=jnp.float32)
 
 
 def _project_parts(lw, o4s_pair, d4_pair, near, limit=None):
@@ -294,9 +347,14 @@ def build_cluster_tables(tri_v0, tri_e1, tri_e2, cluster_t: int = CLUSTER_T):
     # padding lanes: inverted boxes that no interval test can reach
     box[B_MIN:B_MIN + 3, :] = 3e38
     box[B_MAX:B_MAX + 3, :] = -3e38
-    base = np.zeros(max(c, 1), np.int32)
-    count = np.zeros(max(c, 1), np.int32)
-    frames = np.zeros((max(c, 1), 4, 3 * cluster_t), np.float32)
+    # frames/base/count are padded to the SAME 128-lane bucket as the box
+    # table: the kernel's static n_clusters then quantizes at 128, so small
+    # geometry edits keep every traced shape (and the jit cache) stable.
+    # Padding rows are never-hit frames ranked at INF — the visit loop exits
+    # before reaching them.
+    base = np.zeros(cp, np.int32)
+    count = np.zeros(cp, np.int32)
+    frames = np.zeros((cp, 4, 3 * cluster_t), np.float32)
     # never-hit padding frames: w = 0, c = (-1, -1, 1) => b1 = -1 everywhere
     frames[:, 3, 0 * cluster_t:1 * cluster_t] = -1.0
     frames[:, 3, 1 * cluster_t:2 * cluster_t] = -1.0
@@ -469,11 +527,11 @@ def _visit_order(dist):
         scat = (rank_col == ci.astype(jnp.float32)).astype(jnp.bfloat16)
         idx_col = (jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
                    + i0).astype(jnp.float32)             # [n, 1]
-        ih, il = _split16(idx_col)
-        perm = perm + (jax.lax.dot_general(
-            scat, ih, col_dims, preferred_element_type=jnp.float32)
-            + jax.lax.dot_general(
-                scat, il, col_dims, preferred_element_type=jnp.float32))
+        ilimbs = _split16(idx_col)
+        perm = perm + jax.lax.dot_general(
+            jnp.concatenate([scat] * len(ilimbs), axis=0),
+            jnp.concatenate(ilimbs, axis=0), col_dims,
+            preferred_element_type=jnp.float32)
         pdist = pdist + jax.lax.dot_general(
             scat, dist_col.astype(jnp.bfloat16), col_dims,
             preferred_element_type=jnp.float32)
@@ -635,7 +693,15 @@ def _op_loader(streamed, op_ref, scratch):
 # ---------------------------------------------------------------------------
 
 _ID_BIG = float(2 ** 30)
-UNROLL = 1              # candidates examined per visit-loop iteration
+# experiment knobs (read once at import; used by tools/r5probe.py subprocesses)
+# ksplit3 = 3 bf16 limbs, 6 cross terms, one K=24 MXU pass (full f32 mantissa
+# at any operand magnitude); ksplit = 2 limbs / 4 terms / K=16 (round-4
+# accuracy at the same speed); split4/split3/single = separate-pass forms
+DOT_MODE = os.environ.get("RZ_DOT", "ksplit3")
+_LIMBS = 3 if DOT_MODE == "ksplit3" else 2
+KSTATS = os.environ.get("RZ_KSTATS", "") == "1"  # extra per-block visit stats
+UNROLL = int(os.environ.get("RZ_UNROLL", "1"))
+                        # candidates examined per visit-loop iteration
 # Measured (teapot bounce wavefront): removing the per-candidate slab gate
 # and visiting every ranked candidate is SLOWER (19.3 vs 16.9 ms/call) even
 # at 33 clusters — the gate's tmin <= best_t term keeps pruning candidates
@@ -692,7 +758,7 @@ def _clamp_c(c_f, n_pad: int):
 def _closest_kernel(n_clusters: int, streamed: bool):
     unroll = UNROLL
     def kern(box_ref, box_smem, clip_ref, lw_ref, o4_ref, d4_ref, nf_ref,
-             t_ref, id_ref, *scratch):
+             t_ref, id_ref, *scratch, ks=None):
         cp = box_ref.shape[1]
         pvm = scratch[0]
         o4 = o4_ref[:]
@@ -713,7 +779,7 @@ def _closest_kernel(n_clusters: int, streamed: bool):
         d4p = _split16(d4)
 
         def body(state):
-            k, best_t, best_id, stop_t, _ = state
+            k, best_t, best_id, stop_t, _, nv = state
             for u in range(unroll):
                 c_f, pd = read_order(k + u)
                 c = _clamp_c(c_f, n_clusters)   # n_clusters = pad row
@@ -721,7 +787,7 @@ def _closest_kernel(n_clusters: int, streamed: bool):
                 bmin, bmax, _b = _smem_col(box_smem, c)
 
                 def visit(args, c=c, base=base, bmin=bmin, bmax=bmax):
-                    best_t, best_id = args
+                    best_t, best_id, nv = args
                     lw = load_frames(c)
                     o4sp = _local_o4(ox, oy, oz,
                                      (bmin[0] + bmax[0]) * 0.5,
@@ -732,33 +798,36 @@ def _closest_kernel(n_clusters: int, streamed: bool):
                     got = t_new < best_t
                     best_id = jnp.where(got, id_new + base, best_id)
                     best_t = jnp.where(got, t_new, best_t)
-                    return best_t, best_id
+                    return best_t, best_id, nv + 1
 
                 tmin8, tmax8 = _slab8(bmin, bmax, o8, i8)
                 bt8 = _r8(best_t)
                 rhit = (tmax8 >= near8) & (tmin8 <= tmax8) & (tmin8 <= bt8)
-                best_t, best_id = jax.lax.cond(
+                best_t, best_id, nv = jax.lax.cond(
                     (pd <= stop_t) & (pd < INF_GATE) & jnp.any(rhit),
-                    visit, lambda a: a, (best_t, best_id))
+                    visit, lambda a: a, (best_t, best_id, nv))
             stop_t = jnp.max(best_t)
             return (k + unroll, best_t, best_id, stop_t,
-                    read_order(k + unroll)[1])
+                    read_order(k + unroll)[1], nv)
 
         def cond(state):
-            k, _, _, stop_t, pd_next = state
+            k, _, _, stop_t, pd_next, _ = state
             # the INF_GATE term stops at padding/unreachable candidates even
             # if stop_t is degenerate-large (reference r3 semantics)
             return ((pd_next <= stop_t) & (pd_next < INF_GATE)
                     & (k < cp - unroll))
 
         best_t0 = jnp.minimum(far, BIG)
-        _, best_t, best_id, _, _ = jax.lax.while_loop(
+        k_end, best_t, best_id, _, _, nv = jax.lax.while_loop(
             cond, body,
             (jnp.int32(0), best_t0,
              jnp.full((1, BLOCK), -1.0, jnp.float32),
-             jnp.max(best_t0), read_order(0)[1]))
+             jnp.max(best_t0), read_order(0)[1], jnp.int32(0)))
         t_ref[:] = best_t
         id_ref[:] = best_id
+        if ks is not None:
+            ks[0][:] = jnp.full((1, BLOCK), 1.0) * k_end.astype(jnp.float32)
+            ks[1][:] = jnp.full((1, BLOCK), 1.0) * nv.astype(jnp.float32)
     return kern
 
 
@@ -917,34 +986,47 @@ def _cluster_closest_impl(origin, direction, near, far, box_tab, frames):
     (box_spec, rows_spec, clip_spec, lw_spec, ray_spec, nf_spec,
      out_spec) = _specs(streamed, box_tab.shape, frames.shape, clip.shape[0])
 
-    def kern(box_ref, box_smem, clip_ref, lw_ref, o4_ref, d4_ref, nf_ref,
-             t_ref, id_ref, *scratch):
-        inner = _closest_kernel(n_clusters, streamed)
-        inner(box_ref, box_smem, clip_ref, lw_ref, o4_ref.at[0],
-              d4_ref.at[0], nf_ref.at[0], t_ref.at[0], id_ref.at[0],
-              *scratch)
+    n_out = 4 if KSTATS else 2
 
-    t, tid = pl.pallas_call(
+    def kern(box_ref, box_smem, clip_ref, lw_ref, o4_ref, d4_ref, nf_ref,
+             *rest):
+        outs, scratch = rest[:n_out], rest[n_out:]
+        inner = _closest_kernel(n_clusters, streamed)
+        ks = [o.at[0] for o in outs[2:]] if KSTATS else None
+        inner(box_ref, box_smem, clip_ref, lw_ref, o4_ref.at[0],
+              d4_ref.at[0], nf_ref.at[0], outs[0].at[0], outs[1].at[0],
+              *scratch, ks=ks)
+
+    outs = pl.pallas_call(
         kern,
         grid=(nb,),
-        out_shape=(jax.ShapeDtypeStruct((nb, 1, BLOCK), jnp.float32),
-                   jax.ShapeDtypeStruct((nb, 1, BLOCK), jnp.float32)),
+        out_shape=tuple(jax.ShapeDtypeStruct((nb, 1, BLOCK), jnp.float32)
+                        for _ in range(n_out)),
         in_specs=[box_spec, rows_spec, clip_spec, lw_spec, ray_spec,
                   ray_spec, nf_spec],
-        out_specs=(out_spec, out_spec),
+        out_specs=tuple(out_spec for _ in range(n_out)),
         scratch_shapes=_scratch(streamed, cp),
         interpret=_interpret(),
     )(box_tab, box_rows(box_tab), clip, frames, o4, d4, nf_b)
-    return t.reshape(rp)[:R], tid.reshape(rp)[:R].astype(jnp.int32)
+    t, tid = outs[0], outs[1]
+    ks = (outs[2][:, 0, 0], outs[3][:, 0, 0]) if KSTATS else None
+    return t.reshape(rp)[:R], tid.reshape(rp)[:R].astype(jnp.int32), ks
+
+
+#: per-block (candidates-examined, gated-visits) rows from the most recent
+#: KSTATS=1 cluster_closest call (tools/r5probe.py diagnostics only)
+_KS_LAST = {}
 
 
 def cluster_closest(origin, direction, near, far, box_tab, frames, order):
     """Closest hit. Returns (t [R], tri_id [R] i32 in ORIGINAL order, -1 =
     miss). Discrete output — wrapped in stop_gradient (the integrator
     re-derives differentiable t/b1/b2 from the ids via refine_hit)."""
-    t, rid = _cluster_closest_impl(
+    t, rid, ks = _cluster_closest_impl(
         *map(jax.lax.stop_gradient,
              (origin, direction, near, far, box_tab, frames)))
+    if ks is not None:
+        _KS_LAST["k"], _KS_LAST["visits"] = ks
     tid = jnp.where(rid >= 0, order[jnp.clip(rid, 0, order.shape[0] - 1)], -1)
     return jax.lax.stop_gradient(t), jax.lax.stop_gradient(tid)
 
@@ -1145,7 +1227,7 @@ def _object_block(row_get, ox, oy, oz, dx, dy, dz):
 
     o8l = (_r8(oxl), _r8(oyl), _r8(ozl))
     i8l = (_r8(inv1(dxl)), _r8(inv1(dyl)), _r8(inv1(dzl)))
-    return (oxl, oyl, ozl), _split16(d4l), o8l, i8l
+    return (oxl, oyl, ozl), _split16(d4l), o8l, i8l, d4l
 
 
 def _cl_col(cl_smem, s):
@@ -1154,18 +1236,45 @@ def _cl_col(cl_smem, s):
     return bmin, bmax, cl_smem[s, B_BASE]
 
 
+def _inst_cluster_order(ibox_ref, orows, d4l, valid_ray, t_cap, cl0, ncl,
+                        pvm2):
+    """Ranked object-space cluster shortlist for one visited instance.
+
+    The round-4 kernels swept EVERY cluster of the instance's mesh through a
+    serial ``fori_loop`` + ``cond`` (~0.5 us of loop machinery per
+    (instance, cluster) — the instanced path's measured bottleneck). This
+    replaces the sweep with the same trick the soup kernel uses one level
+    up: one [1, Cmp] conservative interval cull of the transformed block
+    against ALL shared mesh clusters (lanes limited to the instance's
+    range), ranked front-to-back; the inner loop then visits only feasible
+    clusters in ascending distance order and exits at the first INF."""
+    oxl, oyl, ozl = orows
+    dxl = d4l[0:1, :]
+    dyl = d4l[1:2, :]
+    dzl = d4l[2:3, :]
+    cmp_ = ibox_ref.shape[1]
+    dist1 = _cluster_dists(ibox_ref, oxl, oyl, ozl, dxl, dyl, dzl,
+                           valid_ray, t_cap)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (1, cmp_), 1)
+    in_range = (ci >= cl0) & (ci < cl0 + ncl)
+    dist1 = jnp.where(in_range, dist1, INF)
+    return _order_reader(pvm2, _visit_order(dist1))
+
+
 def _closest_kernel_inst(n_inst: int, streamed: bool):
-    def kern(box_ref, ti_smem, cl_smem, clip_ref, lw_ref, o4_ref, d4_ref,
-             nf_ref, t_ref, id_ref, inst_ref, *scratch):
+    def kern(box_ref, ti_smem, cl_smem, ibox_ref, clip_ref, lw_ref, o4_ref,
+             d4_ref, nf_ref, t_ref, id_ref, inst_ref, *scratch):
         ip = box_ref.shape[1]
-        pvm = scratch[0]
+        cmp_ = ibox_ref.shape[1]
+        pvm, pvm2 = scratch[0], scratch[1]
+        rest = scratch[2:]
         o4 = o4_ref[:]
         d4 = d4_ref[:]
         near, far_in = nf_ref[0:1, :], nf_ref[1:2, :]
         rows, o8, i8, far = _ray_setup(o4, d4, near, far_in, clip_ref)
         ox, oy, oz, dx, dy, dz = rows
         valid_ray = far > 0.0
-        load_frames = _frame_loader(streamed, lw_ref, scratch)
+        load_frames = _frame_loader(streamed, lw_ref, (None,) + rest)
         near8 = _r8(near)
 
         t_cap = jnp.max(jnp.where(valid_ray, far, -1.0))
@@ -1188,15 +1297,19 @@ def _closest_kernel_inst(n_inst: int, streamed: bool):
 
             def visit(args):
                 best_t, best_id, best_inst = args
-                orows, d4lp, o8l, i8l = _object_block(
+                orows, d4lp, o8l, i8l, d4l = _object_block(
                     lambda j: ti_smem[c, j], ox, oy, oz, dx, dy, dz)
                 cl0 = ti_smem[c, TI_CL0].astype(jnp.int32)
                 ncl = ti_smem[c, TI_NCL].astype(jnp.int32)
                 gid = ti_smem[c, TI_ID]
+                cap = jnp.max(jnp.where(valid_ray, best_t, -1.0))
+                read2 = _inst_cluster_order(ibox_ref, orows, d4l, valid_ray,
+                                            cap, cl0, ncl, pvm2)
 
-                def inner(j, args):
-                    best_t, best_id, best_inst = args
-                    s = cl0 + j
+                def inner(st):
+                    j, best_t, best_id, best_inst, stop_i, _ = st
+                    s_f, pdj = read2(j)
+                    s = _clamp_c(s_f, cmp_ - 1)
                     cmin, cmax, base = _cl_col(cl_smem, s)
                     ctmin8, ctmax8 = _slab8(cmin, cmax, o8l, i8l)
                     chit = ((ctmax8 >= near8) & (ctmin8 <= ctmax8)
@@ -1217,11 +1330,23 @@ def _closest_kernel_inst(n_inst: int, streamed: bool):
                         best_t = jnp.where(got, t_new, best_t)
                         return best_t, best_id, best_inst
 
-                    return jax.lax.cond(jnp.any(chit), cvisit, lambda a: a,
-                                        (best_t, best_id, best_inst))
+                    best_t, best_id, best_inst = jax.lax.cond(
+                        (pdj <= stop_i) & (pdj < INF_GATE) & jnp.any(chit),
+                        cvisit, lambda a: a, (best_t, best_id, best_inst))
+                    stop_i = jnp.max(best_t)
+                    return (j + 1, best_t, best_id, best_inst, stop_i,
+                            read2(j + 1)[1])
 
-                return jax.lax.fori_loop(0, ncl, inner,
-                                         (best_t, best_id, best_inst))
+                def icond(st):
+                    j, _, _, _, stop_i, pd_next = st
+                    return ((pd_next <= stop_i) & (pd_next < INF_GATE)
+                            & (j < cmp_ - 1))
+
+                _, best_t, best_id, best_inst, _, _ = jax.lax.while_loop(
+                    icond, inner,
+                    (jnp.int32(0), best_t, best_id, best_inst,
+                     jnp.max(best_t), read2(0)[1]))
+                return best_t, best_id, best_inst
 
             best_t, best_id, best_inst = jax.lax.cond(
                 (pd <= stop_t) & (pd < INF_GATE) & jnp.any(rhit),
@@ -1249,11 +1374,13 @@ def _closest_kernel_inst(n_inst: int, streamed: bool):
 
 
 def _shadow_kernel_inst(n_inst: int, streamed: bool):
-    def kern(box_ref, ti_smem, cl_smem, clip_ref, lw_ref, scl_ref, op_ref,
-             o4_ref, d4_ref, nf_ref, mr_ref, mg_ref, mb_ref, ma_ref,
+    def kern(box_ref, ti_smem, cl_smem, ibox_ref, clip_ref, lw_ref, scl_ref,
+             op_ref, o4_ref, d4_ref, nf_ref, mr_ref, mg_ref, mb_ref, ma_ref,
              *scratch):
         ip = box_ref.shape[1]
-        pvm = scratch[0]
+        cmp_ = ibox_ref.shape[1]
+        pvm, pvm2 = scratch[0], scratch[1]
+        rest = scratch[2:]
         o4 = o4_ref[:]
         d4 = d4_ref[:]
         zero_row = jnp.zeros((1, BLOCK), jnp.float32)
@@ -1261,7 +1388,7 @@ def _shadow_kernel_inst(n_inst: int, streamed: bool):
                                           clip_ref)
         ox, oy, oz, dx, dy, dz = rows
         valid_ray = dist_t > 0.0
-        load_frames = _frame_loader(streamed, lw_ref, scratch)
+        load_frames = _frame_loader(streamed, lw_ref, (None,) + rest)
         ct = CLUSTER_T
         dist8 = _r8(dist_t)
 
@@ -1289,16 +1416,20 @@ def _shadow_kernel_inst(n_inst: int, streamed: bool):
 
             def visit(args):
                 mr, mg, mb, ma = args
-                orows, d4lp, o8l, i8l = _object_block(
+                orows, d4lp, o8l, i8l, d4l = _object_block(
                     lambda j: ti_smem[c, j], ox, oy, oz, dx, dy, dz)
                 cl0 = ti_smem[c, TI_CL0].astype(jnp.int32)
                 ncl = ti_smem[c, TI_NCL].astype(jnp.int32)
                 gid = ti_smem[c, TI_ID].astype(jnp.int32)
                 opi = op_ref[pl.ds(gid, 1), :, :][0]              # [4, 64]
+                live = jnp.max(jnp.where(_r8(ma) >= 1e-4, dist8, -1.0))
+                read2 = _inst_cluster_order(ibox_ref, orows, d4l, valid_ray,
+                                            live, cl0, ncl, pvm2)
 
-                def inner(j, args):
-                    mr, mg, mb, ma = args
-                    s = cl0 + j
+                def inner(st):
+                    j, mr, mg, mb, ma, stop_i, _ = st
+                    s_f, pdj = read2(j)
+                    s = _clamp_c(s_f, cmp_ - 1)
                     cmin, cmax, _base = _cl_col(cl_smem, s)
                     ctmin8, ctmax8 = _slab8(cmin, cmax, o8l, i8l)
                     chit = ((ctmax8 >= 0.0) & (ctmin8 <= ctmax8)
@@ -1334,10 +1465,21 @@ def _shadow_kernel_inst(n_inst: int, streamed: bool):
                             jnp.where(valid, opc[:, 3:4], 1.0))
                         return mr, mg, mb, ma
 
-                    return jax.lax.cond(jnp.any(chit), cvisit, lambda a: a,
-                                        (mr, mg, mb, ma))
+                    mr, mg, mb, ma = jax.lax.cond(
+                        (pdj <= stop_i) & (pdj < INF_GATE) & jnp.any(chit),
+                        cvisit, lambda a: a, (mr, mg, mb, ma))
+                    stop_i = jnp.max(jnp.where(_r8(ma) >= 1e-4, dist8, -1.0))
+                    return j + 1, mr, mg, mb, ma, stop_i, read2(j + 1)[1]
 
-                return jax.lax.fori_loop(0, ncl, inner, (mr, mg, mb, ma))
+                def icond(st):
+                    j, _, _, _, _, stop_i, pd_next = st
+                    return ((pd_next <= stop_i) & (pd_next < INF_GATE)
+                            & (j < cmp_ - 1))
+
+                _, mr, mg, mb, ma, _, _ = jax.lax.while_loop(
+                    icond, inner,
+                    (jnp.int32(0), mr, mg, mb, ma, live, read2(0)[1]))
+                return mr, mg, mb, ma
 
             mr, mg, mb, ma = jax.lax.cond(
                 (pd <= stop_s) & (pd < INF_GATE) & jnp.any(rhit),
@@ -1368,6 +1510,26 @@ def _pad_ti(ti_box, ti_rows):
     return box, rows
 
 
+def _ibox_from_obox(cl_obox):
+    """Lane-major [8, Cmp] twin of the object-space cluster rows, for the
+    per-instance vectorized cluster cull (padding lanes: inverted boxes)."""
+    box = jnp.transpose(cl_obox)                        # [8, Cm]
+    cm = box.shape[1]
+    cmp_ = -(-max(cm, 1) // 128) * 128
+    pad = jnp.zeros((8, cmp_ - cm), box.dtype)
+    pad = pad.at[B_MIN:B_MIN + 3].set(3e38).at[B_MAX:B_MAX + 3].set(-3e38)
+    return jnp.concatenate([box, pad], axis=1)
+
+
+def _scratch_inst(streamed: bool, ip: int, cmp_: int):
+    base = [pltpu.VMEM((ip, 128), jnp.float32),
+            pltpu.VMEM((cmp_, 128), jnp.float32)]
+    if not streamed:
+        return base
+    return base + [pltpu.VMEM((1, 4, 3 * CLUSTER_T), jnp.float32),
+                   pltpu.SemaphoreType.DMA]
+
+
 @jax.jit
 def _cluster_closest_inst_impl(origin, direction, near, far, ti_box, ti_rows,
                                cl_obox, frames):
@@ -1383,32 +1545,36 @@ def _cluster_closest_inst_impl(origin, direction, near, far, ti_box, ti_rows,
                     jnp.pad(far, (0, rp - R), constant_values=-1.0)], axis=0)
     nf_b = nf.reshape(2, nb, BLOCK).transpose(1, 0, 2)
     clip = clip_rows_jnp(ti_box, n_inst)
+    ibox = _ibox_from_obox(cl_obox)
     (box_spec, _, clip_spec, lw_spec, ray_spec, nf_spec,
      out_spec) = _specs(streamed, ti_box.shape, frames.shape, clip.shape[0])
     ti_spec = pl.BlockSpec(ti_rows.shape, lambda i: (0, 0),
                            memory_space=pltpu.SMEM)
     cl_spec = pl.BlockSpec(cl_obox.shape, lambda i: (0, 0),
                            memory_space=pltpu.SMEM)
+    ibox_spec = pl.BlockSpec(ibox.shape, lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)
 
-    def kern(box_ref, ti_smem, cl_smem, clip_ref, lw_ref, o4_ref, d4_ref,
-             nf_ref, t_ref, id_ref, inst_ref, *scratch):
+    def kern(box_ref, ti_smem, cl_smem, ibox_ref, clip_ref, lw_ref, o4_ref,
+             d4_ref, nf_ref, t_ref, id_ref, inst_ref, *scratch):
         inner = _closest_kernel_inst(n_inst, streamed)
-        inner(box_ref, ti_smem, cl_smem, clip_ref, lw_ref, o4_ref.at[0],
-              d4_ref.at[0], nf_ref.at[0], t_ref.at[0], id_ref.at[0],
-              inst_ref.at[0], *scratch)
+        inner(box_ref, ti_smem, cl_smem, ibox_ref, clip_ref, lw_ref,
+              o4_ref.at[0], d4_ref.at[0], nf_ref.at[0], t_ref.at[0],
+              id_ref.at[0], inst_ref.at[0], *scratch)
 
     t, tid, inst = pl.pallas_call(
         kern,
         grid=(nb,),
         out_shape=tuple(jax.ShapeDtypeStruct((nb, 1, BLOCK), jnp.float32)
                         for _ in range(3)),
-        in_specs=[box_spec, ti_spec, cl_spec, clip_spec, lw_spec, ray_spec,
-                  ray_spec, nf_spec],
+        in_specs=[box_spec, ti_spec, cl_spec, ibox_spec, clip_spec, lw_spec,
+                  ray_spec, ray_spec, nf_spec],
         out_specs=tuple(pl.BlockSpec((1, 1, BLOCK), lambda i: (i, 0, 0))
                         for _ in range(3)),
-        scratch_shapes=_scratch(streamed, ti_box.shape[1]),
+        scratch_shapes=_scratch_inst(streamed, ti_box.shape[1],
+                                     ibox.shape[1]),
         interpret=_interpret(),
-    )(ti_box, ti_rows, cl_obox, clip, frames, o4, d4, nf_b)
+    )(ti_box, ti_rows, cl_obox, ibox, clip, frames, o4, d4, nf_b)
     return (t.reshape(rp)[:R], tid.reshape(rp)[:R].astype(jnp.int32),
             inst.reshape(rp)[:R].astype(jnp.int32))
 
@@ -1442,23 +1608,26 @@ def _cluster_shadow_inst_impl(origin, direction, dist, ti_box, ti_rows,
                     jnp.zeros(rp, jnp.float32)], axis=0)
     nf_b = nf.reshape(2, nb, BLOCK).transpose(1, 0, 2)
     clip = clip_rows_jnp(ti_box, n_inst)
+    ibox = _ibox_from_obox(cl_obox)
     (box_spec, _, clip_spec, lw_spec, ray_spec, nf_spec,
      out_spec) = _specs(streamed, ti_box.shape, frames.shape, clip.shape[0])
     ti_spec = pl.BlockSpec(ti_rows.shape, lambda i: (0, 0),
                            memory_space=pltpu.SMEM)
     cl_spec = pl.BlockSpec(cl_obox.shape, lambda i: (0, 0),
                            memory_space=pltpu.SMEM)
+    ibox_spec = pl.BlockSpec(ibox.shape, lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)
     scl_spec = pl.BlockSpec(scl.shape, lambda i: (0, 0),
                             memory_space=pltpu.VMEM)
     op_spec = pl.BlockSpec(op_tab.shape, lambda i: (0, 0, 0),
                            memory_space=pltpu.VMEM)
 
-    def kern(box_ref, ti_smem, cl_smem, clip_ref, lw_ref, scl_ref, op_ref,
-             o4_ref, d4_ref, nf_ref, *rest):
+    def kern(box_ref, ti_smem, cl_smem, ibox_ref, clip_ref, lw_ref, scl_ref,
+             op_ref, o4_ref, d4_ref, nf_ref, *rest):
         outs, scratch = rest[:4], rest[4:]
         inner = _shadow_kernel_inst(n_inst, streamed)
-        inner(box_ref, ti_smem, cl_smem, clip_ref, lw_ref, scl_ref, op_ref,
-              o4_ref.at[0], d4_ref.at[0], nf_ref.at[0],
+        inner(box_ref, ti_smem, cl_smem, ibox_ref, clip_ref, lw_ref, scl_ref,
+              op_ref, o4_ref.at[0], d4_ref.at[0], nf_ref.at[0],
               *[o.at[0] for o in outs], *scratch)
 
     outs = pl.pallas_call(
@@ -1466,13 +1635,15 @@ def _cluster_shadow_inst_impl(origin, direction, dist, ti_box, ti_rows,
         grid=(nb,),
         out_shape=tuple(jax.ShapeDtypeStruct((nb, 1, BLOCK), jnp.float32)
                         for _ in range(4)),
-        in_specs=[box_spec, ti_spec, cl_spec, clip_spec, lw_spec, scl_spec,
-                  op_spec, ray_spec, ray_spec, nf_spec],
+        in_specs=[box_spec, ti_spec, cl_spec, ibox_spec, clip_spec, lw_spec,
+                  scl_spec, op_spec, ray_spec, ray_spec, nf_spec],
         out_specs=tuple(pl.BlockSpec((1, 1, BLOCK), lambda i: (i, 0, 0))
                         for _ in range(4)),
-        scratch_shapes=_scratch(streamed, ti_box.shape[1]),
+        scratch_shapes=_scratch_inst(streamed, ti_box.shape[1],
+                                     ibox.shape[1]),
         interpret=_interpret(),
-    )(ti_box, ti_rows, cl_obox, clip, frames, scl, op_tab, o4, d4, nf_b)
+    )(ti_box, ti_rows, cl_obox, ibox, clip, frames, scl, op_tab, o4, d4,
+      nf_b)
     mr, mg, mb, ma = [x.reshape(rp)[:R] for x in outs]
     return jnp.stack([mr, mg, mb], axis=1), ma
 

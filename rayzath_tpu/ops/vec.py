@@ -100,8 +100,11 @@ def sample_disk(r1, r2, vn, radius):
 
 #: Temperature of the sigmoid-relaxed total-internal-reflection indicator
 #: used for ior GRADIENTS (the forward value stays the exact hard branch).
-#: Smaller = tighter boundary = lower bias but higher variance near TIR;
-#: anneal toward 0 over an inverse-rendering run by assigning this global.
+#: Smaller = tighter boundary = lower bias but higher variance near TIR.
+#: NOTE: jitted training/loss functions capture this global at TRACE time —
+#: reassigning it mid-run has no effect until the function is re-traced. An
+#: annealing schedule must either call ``jax.clear_caches()`` (or re-build
+#: its jitted step) after each assignment, or re-jit per temperature stage.
 TIR_TAU = 0.05
 
 

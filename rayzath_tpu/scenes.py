@@ -314,6 +314,13 @@ def cornell_box_nee(width: int = 512, height: int = 512) -> World:
     return w
 
 
+def mesh_massive(width: int = 512, height: int = 512) -> World:
+    """~500k-triangle displaced blob: the streamed-HBM scale proof (VERDICT
+    r4 item 6). Cluster tables run to ~4k clusters — far past
+    RESIDENT_CLUSTERS — so every visit DMAs its frames from HBM."""
+    return mesh_heavy(width, height, resolution=500)
+
+
 SCENES = {
     "cornell_box": cornell_box,
     "cornell_box_nee": cornell_box_nee,
@@ -322,5 +329,6 @@ SCENES = {
     "glass_and_fog": glass_and_fog,
     "textured_room": textured_room,
     "mesh_heavy": mesh_heavy,
+    "mesh_massive": mesh_massive,
     "instanced_field": instanced_field,
 }

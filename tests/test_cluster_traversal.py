@@ -123,6 +123,68 @@ def test_shadow_gradient_fd():
         assert np.isclose(float(g[k]), fd, rtol=5e-2, atol=1e-3), (k, float(g[k]), fd)
 
 
+def test_streamed_path_parity(monkeypatch):
+    """Force the streamed (HBM + DMA scratch) code path by dropping
+    RESIDENT_CLUSTERS to 1 and check closest + shadow parity against the
+    resident path on the same scene — the streamed scratch indices and DMA
+    shapes otherwise have no coverage below 1280 clusters (round-4 advisor
+    finding)."""
+    import rayzath_tpu.ops.traverse_cluster as tc
+    n_tri = 600
+    v0, e1, e2 = make_soup(n_tri, seed=21)
+    box, frames, order, base, count = build_cluster_tables(v0, e1, e2)
+    o, d = make_rays(256, seed=22)
+    near = jnp.zeros(256)
+    far = jnp.full(256, 1e30)
+    rng = np.random.default_rng(23)
+    op_rgb = jnp.asarray(rng.uniform(0.3, 1.0, (n_tri, 3)).astype(np.float32))
+    op_a = jnp.asarray(rng.uniform(0.4, 1.0, n_tri).astype(np.float32))
+    args_c = (o, d, near, far, jnp.asarray(box), jnp.asarray(frames),
+              jnp.asarray(order))
+    args_s = (o, d, jnp.full(256, 9.0), jnp.asarray(box), jnp.asarray(frames),
+              jnp.asarray(order), jnp.asarray(base), jnp.asarray(count),
+              jnp.asarray(v0), jnp.asarray(e1), jnp.asarray(e2), op_rgb, op_a)
+    t_res, tid_res = cluster_closest(*args_c)
+    rgb_res, a_res = cluster_shadow(*args_s)
+    assert frames.shape[0] > 1  # scene must actually span several clusters
+
+    monkeypatch.setattr(tc, "RESIDENT_CLUSTERS", 1)
+    tc._cluster_closest_impl.clear_cache()
+    tc._cluster_shadow_impl.clear_cache()
+    try:
+        t_str, tid_str = cluster_closest(*args_c)
+        rgb_str, a_str = cluster_shadow(*args_s)
+    finally:
+        monkeypatch.undo()
+        tc._cluster_closest_impl.clear_cache()
+        tc._cluster_shadow_impl.clear_cache()
+    np.testing.assert_array_equal(np.asarray(tid_str), np.asarray(tid_res))
+    np.testing.assert_allclose(np.asarray(t_str), np.asarray(t_res), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(a_str), np.asarray(a_res), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(rgb_str), np.asarray(rgb_res),
+                               rtol=1e-6)
+
+
+def test_payload_sorted_traversal_matches_unsorted():
+    """The payload-carrying radix sort (ops/sort_rays.sort_payload) must be a
+    pure reordering: traversal results after sort + unsort equal the
+    unsorted call exactly (closest) / to f32 product-order noise (shadow)."""
+    from rayzath_tpu.ops.sort_rays import sort_payload, unsort_payload
+    n_tri = 500
+    v0, e1, e2 = make_soup(n_tri, seed=31)
+    box, frames, order, base, count = build_cluster_tables(v0, e1, e2)
+    o, d = make_rays(2048, seed=32)
+    near = jnp.zeros(2048)
+    far = jnp.full(2048, 1e30)
+    args = (jnp.asarray(box), jnp.asarray(frames), jnp.asarray(order))
+    t0, tid0 = cluster_closest(o, d, near, far, *args)
+    o_s, d_s, (n_s, f_s), idx = sort_payload(o, d, (near, far))
+    t1_s, tid1_s = cluster_closest(o_s, d_s, n_s, f_s, *args)
+    t1, tid1 = unsort_payload(idx, (t1_s, tid1_s))
+    np.testing.assert_array_equal(np.asarray(tid1), np.asarray(tid0))
+    np.testing.assert_allclose(np.asarray(t1), np.asarray(t0), rtol=1e-6)
+
+
 def test_empty_and_single_cluster():
     # tiny soup: one cluster, some rays guaranteed to miss
     v0 = np.array([[0.0, 0.0, 2.0]], np.float32)

@@ -165,7 +165,7 @@ def test_grad_fd_atlas_texel():
     """FD validation for a color-atlas texel (textures train through the
     bilinear fetch)."""
     w = rz.scenes.textured_room(16, 12)
-    cfg = rz.RenderConfig(tracing=rz.Tracing(max_depth=2, rpp=3))
+    cfg = rz.RenderConfig(tracing=rz.Tracing(max_depth=2, rpp=2))
     scene = compile_world(w)
     cam = compile_camera(w.cameras[0])
     state = init_state(16, 12)
@@ -174,7 +174,7 @@ def test_grad_fd_atlas_texel():
 
     def loss_of_atlas(atlas):
         return image_loss(scene.replace(color_atlas=atlas), cam, cfg, state,
-                          key, target, 3)[0]
+                          key, target, 2)[0]
 
     g = jax.grad(loss_of_atlas)(scene.color_atlas)
     g_np = np.asarray(g)
@@ -209,7 +209,7 @@ def test_grad_fd_through_cluster_shadow_at_64px():
 
     def loss_of(alpha):
         s = scene.replace(mat_color=scene.mat_color.at[bi, 3].set(alpha))
-        return image_loss(s, cam, cfg, state, key, target, 3)[0]
+        return image_loss(s, cam, cfg, state, key, target, 2)[0]
 
     base = 0.55
     g = jax.grad(loss_of)(jnp.float32(base))
@@ -241,14 +241,14 @@ def test_grad_fd_ior():
 
     lg = jax.jit(jax.value_and_grad(loss_of))
     lj = jax.jit(loss_of)
-    keys = [jax.random.key(50 + i) for i in range(24)]
+    keys = [jax.random.key(50 + i) for i in range(12)]
     g = float(np.mean([float(lg(jnp.float32(base), k)[1]) for k in keys]))
     eps = 0.05
     fd = float(np.mean([(float(lj(jnp.float32(base + eps), k))
                          - float(lj(jnp.float32(base - eps), k))) / (2 * eps)
                         for k in keys]))
     assert np.isfinite(g) and g != 0.0
-    assert g == pytest.approx(fd, rel=0.2), f"ior: analytic {g} vs fd {fd}"
+    assert g == pytest.approx(fd, rel=0.25), f"ior: analytic {g} vs fd {fd}"
 
 
 def foggy_world():
@@ -291,7 +291,7 @@ def test_grad_fd_scattering_score_function():
 
     lg = jax.jit(jax.value_and_grad(radiance))
     lj = jax.jit(radiance)
-    keys = [jax.random.key(1000 + i) for i in range(48)]
+    keys = [jax.random.key(1000 + i) for i in range(32)]
     g = float(np.mean([float(lg(jnp.float32(0.8), k)[1]) for k in keys]))
     eps = 0.15
     fd = float(np.mean([(float(lj(jnp.float32(0.8 + eps), k))

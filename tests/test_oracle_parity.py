@@ -154,3 +154,73 @@ def test_texture_alpha_shadow_not_solid():
     mid = img[20:40, 8:40]
     assert mid.max() > 4.0 * max(mid.min(), 1e-3), (
         f"shadow looks solid: min {mid.min():.4f} max {mid.max():.4f}")
+
+
+def test_decision_exact_hit_ids_pinned():
+    """Pin the parity escape hatch (VERDICT r4 item 8): compare per-ray HIT
+    IDS from the cluster kernel against an f64 Moller-Trumbore reference,
+    and allow mismatches ONLY on rays the f64 reference itself classifies as
+    chaotic (near a barycentric boundary or a closest-vs-second t tie). A
+    traversal bug confined to any non-boundary pixel set fails this test —
+    it can no longer hide inside a tone-mapped tolerance."""
+    from rayzath_tpu.ops.camera import pixel_grid, generate_rays
+    from rayzath_tpu.ops.traverse_cluster import (build_cluster_tables,
+                                                  cluster_closest)
+
+    w = rz.scenes.teapot_like(64, 64)
+    scene = compile_world(w)
+    cam = compile_camera(w.cameras[0])
+    r = 64 * 64
+    pix = pixel_grid(64, 64)
+    u = jnp.full((r, 4), 0.5)          # deterministic: no lens jitter
+    o, d = generate_rays(cam, pix, u)
+    near = jnp.zeros(r)
+    far = jnp.full(r, 1e30)
+    t_k, tid_k = cluster_closest(o, d, near, far, scene.cl_box, scene.cl_lw,
+                                 scene.cl_order)
+
+    # f64 Moller-Trumbore over the same soup
+    v0 = np.asarray(scene.tri_v0, np.float64)[: scene.n_triangles]
+    e1 = np.asarray(scene.tri_e1, np.float64)[: scene.n_triangles]
+    e2 = np.asarray(scene.tri_e2, np.float64)[: scene.n_triangles]
+    o64 = np.asarray(o, np.float64)
+    d64 = np.asarray(d, np.float64)
+    pvec = np.cross(d64[:, None, :], e2[None])
+    det = np.sum(e1[None] * pvec, -1)
+    det = det + np.where(np.abs(det) < 1e-300, 1e-300, 0.0)
+    inv = 1.0 / det
+    tvec = o64[:, None, :] - v0[None]
+    b1 = np.sum(tvec * pvec, -1) * inv
+    qvec = np.cross(tvec, e1[None])
+    b2 = np.sum(d64[:, None, :] * qvec, -1) * inv
+    t = np.sum(e2[None] * qvec, -1) * inv
+    valid = (b1 >= 0) & (b1 <= 1) & (b2 >= 0) & (b1 + b2 <= 1) & (t > 0)
+    tt = np.where(valid, t, np.inf)
+    order = np.argsort(tt, axis=1)
+    rows = np.arange(r)
+    k1 = order[:, 0]
+    t1 = tt[rows, k1]
+    t2 = tt[rows, order[:, 1]]
+    hit = np.isfinite(t1)
+    tid_ref = np.where(hit, k1, -1).astype(np.int32)
+
+    # chaotic classification in f64: winner near a barycentric edge, a
+    # near-tie with the runner-up, or a near-miss candidate close to t1
+    eps_b = 1e-4
+    margin = np.minimum.reduce([b1[rows, k1], 1.0 - b1[rows, k1],
+                                b2[rows, k1], 1.0 - b1[rows, k1] - b2[rows, k1]])
+    with np.errstate(invalid="ignore"):  # inf - inf on no-hit rays
+        near_tie = (t2 - t1) < 1e-4 * np.maximum(t1, 1.0)
+    near_tie = np.where(np.isfinite(t1), near_tie, False)
+    near_miss_band = ((b1 > -eps_b) & (b1 < 1 + eps_b) & (b2 > -eps_b)
+                      & (b1 + b2 < 1 + eps_b) & ~valid & (t > 0)
+                      & (t < t1[:, None] * (1 + 1e-4) + 1e-6))
+    chaotic = (hit & ((margin < eps_b) | near_tie | near_miss_band.any(1))) \
+        | (~hit & near_miss_band.any(1))
+    safe = ~chaotic
+    assert safe.mean() > 0.97, f"chaotic fraction too large: {1-safe.mean()}"
+    tid_np = np.asarray(tid_k)
+    mism = safe & (tid_np != tid_ref)
+    assert not mism.any(), (
+        f"{mism.sum()} non-boundary hit-id mismatches, e.g. rays "
+        f"{np.nonzero(mism)[0][:5]}")

@@ -35,13 +35,13 @@ def _shadow_inst(tl, o, d, dist, mat_color=None):
 @pytest.fixture(scope="module")
 def instanced():
     """textured_room: three instances share one sphere mesh."""
-    w = rz.scenes.textured_room(64, 48)
+    w = rz.scenes.textured_room(48, 32)
     tl = compile_world(w, two_level=True)
     soup = compile_world(w, two_level=False)
     cam = compile_camera(w.cameras[0])
-    r = 64 * 48
+    r = 48 * 32
     u = jax.random.uniform(jax.random.key(3), (r, 4))
-    o, d = generate_rays(cam, pixel_grid(64, 48), u)
+    o, d = generate_rays(cam, pixel_grid(48, 32), u)
     return w, tl, soup, o, d
 
 
@@ -103,7 +103,7 @@ def test_two_level_render_matches_soup(instanced):
         brute_force_threshold=0)
     imgs = []
     for scene in (tl, soup):
-        st = render_steps_preserve(scene, cam, cfg, init_state(64, 48), key, 3)
+        st = render_steps_preserve(scene, cam, cfg, init_state(48, 32), key, 3)
         imgs.append(np.asarray(st.accum))
     assert not np.isnan(imgs[0]).any()
     # decisions are fp-sensitive across the two geometric formulations; the
@@ -117,12 +117,12 @@ def test_streamed_variant_is_bit_identical(instanced, monkeypatch):
     cam = compile_camera(w.cameras[0])
     key = jax.random.key(7)
     cfg = rz.RenderConfig(tracing=rz.Tracing(max_depth=2, rpp=1))
-    st_res = render_steps_preserve(tl, cam, cfg, init_state(64, 48), key, 2)
+    st_res = render_steps_preserve(tl, cam, cfg, init_state(48, 32), key, 2)
     res = np.asarray(st_res.accum)
     import rayzath_tpu.ops.traverse_cluster as tc
     monkeypatch.setattr(tc, "RESIDENT_CLUSTERS", 1)
     jax.clear_caches()  # the residency flag is baked at trace time
-    st_str = render_steps_preserve(tl, cam, cfg, init_state(64, 48), key, 2)
+    st_str = render_steps_preserve(tl, cam, cfg, init_state(48, 32), key, 2)
     assert (np.asarray(st_str.accum) == res).all()
     jax.clear_caches()
 
@@ -132,9 +132,9 @@ def test_two_level_gradients_flow(instanced):
     from rayzath_tpu.parallel.train import image_loss
     cam = compile_camera(w.cameras[0])
     cfg = rz.RenderConfig(tracing=rz.Tracing(max_depth=3, rpp=2))
-    state = init_state(64, 48)
+    state = init_state(48, 32)
     key = jax.random.key(7)
-    target = jnp.full((48, 64, 3), 0.1)
+    target = jnp.full((32, 48, 3), 0.1)
     params = {k: getattr(tl, k) for k in ("mat_color", "mat_roughness")}
 
     def loss_fn(p):
@@ -187,8 +187,8 @@ def test_picking_resolves_instances(instanced):
     r.render(rpp=4)  # depth buffer fills on the first camera segment (pass 2)
     cam = w.cameras[0]
     found = set()
-    for x in range(4, 64, 8):
-        for y in range(4, 48, 8):
+    for x in range(4, 48, 8):
+        for y in range(4, 32, 8):
             inst, mat = r.pick(cam, x, y)
             if inst >= 0:
                 found.add(inst)
@@ -200,7 +200,7 @@ def test_moving_one_instance_only_moves_it(instanced):
     """Editing one instance's transform changes the unit tables but not the
     shared mesh cluster frames or object-space geometry."""
     w0, tl, soup, o, d = instanced
-    w = rz.scenes.textured_room(64, 48)
+    w = rz.scenes.textured_room(48, 32)
     a = compile_world(w, two_level=True)
     from rayzath_tpu.utils.hostmath import Transform
     ball = next(i for i in w.instances if i.name == "ball 1")
