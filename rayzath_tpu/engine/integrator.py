@@ -100,19 +100,19 @@ def material_fetch(scene: DeviceScene, mp, mat_id, texcrd) -> MatProps:
         tex_id, nrm_id, met_id, rgh_id, emi_id = (maps[:, k] for k in range(5))
         used = scene.map_kinds_used  # static: skip whole fetch per kind
         if used[0]:
-            tex = tex_ops.fetch_scene(scene, tex_id, texcrd)
+            tex = tex_ops.fetch_scene(scene, tex_id, texcrd, atlas=0)
             has_t = (tex_id >= 0)[:, None]
             rgb = jnp.where(has_t, rgb * tex[:, :3], rgb)
             alpha_op = jnp.where(tex_id >= 0,
                                  alpha_op * (1.0 - tex[:, 3]), alpha_op)
         if used[2]:
-            met_v = tex_ops.fetch_scene(scene, met_id, texcrd)[:, 0]
+            met_v = tex_ops.fetch_scene(scene, met_id, texcrd, atlas=1)[:, 0]
             metal = jnp.where(met_id >= 0, met_v, metal)
         if used[3]:
-            rgh_v = tex_ops.fetch_scene(scene, rgh_id, texcrd)[:, 0]
+            rgh_v = tex_ops.fetch_scene(scene, rgh_id, texcrd, atlas=1)[:, 0]
             rough = jnp.where(rgh_id >= 0, rgh_v, rough)
         if used[4]:
-            emi_v = tex_ops.fetch_scene(scene, emi_id, texcrd)[:, 0]
+            emi_v = tex_ops.fetch_scene(scene, emi_id, texcrd, atlas=1)[:, 0]
             emis = jnp.where(emi_id >= 0, emis * emi_v, emis)
         normal_map = nrm_id if used[1] else jnp.full_like(mid, NO_MAP)
     else:
@@ -223,7 +223,7 @@ def closest_hit(scene: DeviceScene, cfg: RenderConfig, o, d, near, far,
             cfg, hw, o, d, (near, far),
             lambda o, d, near, far: cluster_closest_inst(
                 o, d, near, far, scene.ti_box, scene.ti_rows, scene.cl_obox,
-                scene.cl_lw),
+                scene.cl_lw, max_ncl=scene.max_ncl),
             sort=_sort_traversal(cfg, scene))
         tp = gather_rows(scene.tri_pack, jnp.maximum(tid, 0))
         # object -> world (reference Instance transforms the ray instead,
@@ -251,7 +251,7 @@ def closest_hit(scene: DeviceScene, cfg: RenderConfig, o, d, near, far,
                 cfg, hw, o, d, (near, far),
                 lambda o, d, near, far: cluster_closest(
                     o, d, near, far, scene.cl_box, scene.cl_lw,
-                    scene.cl_order),
+                    scene.cl_order, n_real=scene.n_clusters),
                 sort=_sort_traversal(cfg, scene))
         else:
             hit = bvh_closest(o, d, near, far,
@@ -326,7 +326,8 @@ def texture_shadow_factor(scene: DeviceScene, o, d, dist, chunk: int = 512):
         mid = jnp.broadcast_to(
             jax.lax.dynamic_slice_in_dim(cmap, i0, c, 0)[None], valid.shape)
         tex = tex_ops.fetch_scene(scene, mid.reshape(-1),
-                                  uv.reshape(-1, 2)).reshape(valid.shape + (4,))
+                                  uv.reshape(-1, 2),
+                                  atlas=0).reshape(valid.shape + (4,))
         fac_rgb = jnp.where(valid[..., None], tex[..., :3], 1.0)
         fac_a = jnp.where(valid, 1.0 - tex[..., 3], 1.0)
         return rgb * jnp.prod(fac_rgb, axis=1), a * jnp.prod(fac_a, axis=1)
@@ -367,7 +368,8 @@ def _shadow_core(scene: DeviceScene, cfg: RenderConfig, o, d, dist, hw=None):
                 scene.cl_lw, scene.cl_slot, scene.tri_slot,
                 scene.inst_slot_map, scene.mat_color,
                 scene.tri_v0, scene.tri_e1, scene.tri_e2,
-                scene.exp_tri, scene.exp_inst, scene.inst_fwd)
+                scene.exp_tri, scene.exp_inst, scene.inst_fwd,
+                max_ncl=scene.max_ncl)
 
         return _run_coherent(cfg, hw, o, d, (dist,), run,
                              sort=_sort_traversal(cfg, scene))
@@ -384,7 +386,7 @@ def _shadow_core(scene: DeviceScene, cfg: RenderConfig, o, d, dist, hw=None):
             lambda o, d, dist: cluster_shadow(
                 o, d, dist, scene.cl_box, scene.cl_lw, scene.cl_order,
                 scene.cl_base, scene.cl_count, scene.tri_v0, scene.tri_e1,
-                scene.tri_e2, op_rgb, op_a),
+                scene.tri_e2, op_rgb, op_a, n_real=scene.n_clusters),
             sort=_sort_traversal(cfg, scene))
     return bvh_shadow(o, d, dist,
                       scene.aabb_links, scene.node_begin, scene.node_count,
@@ -694,7 +696,7 @@ def bounce_step(scene: DeviceScene, cam: DeviceCamera, cfg: RenderConfig,
     mapped = vtx_n
     if scene.has_maps:
         has_nm = mat.normal_map >= 0
-        nm_rgb = tex_ops.fetch_scene(scene, mat.normal_map, texcrd)[:, :3]
+        nm_rgb = tex_ops.fetch_scene(scene, mat.normal_map, texcrd, atlas=0)[:, :3]
         duv1 = tt1 - tt0
         duv2 = tt2 - tt0
         f = 1.0 / jnp.where(jnp.abs(duv1[:, 0] * duv2[:, 1] - duv2[:, 0] * duv1[:, 1]) < 1e-12,

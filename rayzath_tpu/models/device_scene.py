@@ -170,6 +170,9 @@ class DeviceScene:
     # REAL cluster count (cluster tables are 128-bucket padded; padded rows
     # are never-visited) — drives the ray-sort heuristic, not the shapes
     n_clusters: int = struct.field(pytree_node=False, default=0)
+    # two-level: max REAL clusters of any instance's mesh (static; selects
+    # the instanced kernels' serial vs ranked inner sweep)
+    max_ncl: int = struct.field(pytree_node=False, default=0)
 
 
 @struct.dataclass
@@ -562,6 +565,7 @@ def _two_level_arrays(world: World, mat_index: dict,
         inst_slot_map=jnp.asarray(inst_slot_map),
         exp_tri=jnp.asarray(exp_tri),
         exp_inst=jnp.asarray(exp_inst),
+        max_ncl=int(max(i_ncl)) if i_ncl else 0,
     )
     return geo, n_tri
 

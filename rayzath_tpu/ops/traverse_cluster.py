@@ -63,7 +63,9 @@ bf16-exact values first so single-pass MXU products stay exact.
 """
 from __future__ import annotations
 
+import functools
 import os
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -340,8 +342,25 @@ def build_cluster_tables(tri_v0, tri_e1, tri_e2, cluster_t: int = CLUSTER_T):
     order = bvh.order if t_count else np.zeros(0, np.int32)
     v0, e1, e2 = tri_v0[order], tri_e1[order], tri_e2[order]
 
-    leaf = bvh.node_count > 0
-    c = int(leaf.sum()) if t_count else 0
+    # leaves -> clusters, SPLITTING any leaf larger than cluster_t (the
+    # BVH's too-large-object partition can emit oversized leaves when
+    # centroids coincide); chunk bounds recomputed from the chunk's own
+    # triangle AABBs so culling stays tight
+    pmin_r = pmin[order] if t_count else pmin
+    pmax_r = pmax[order] if t_count else pmax
+    leaves = []          # (begin, count, bmin, bmax) per CLUSTER
+    if t_count:
+        for node in np.nonzero(bvh.node_count > 0)[0]:
+            b = int(bvh.node_begin[node])
+            n = int(bvh.node_count[node])
+            if n <= cluster_t:
+                leaves.append((b, n, bvh.node_min[node], bvh.node_max[node]))
+            else:
+                for b0 in range(b, b + n, cluster_t):
+                    m = min(cluster_t, b + n - b0)
+                    leaves.append((b0, m, pmin_r[b0:b0 + m].min(0),
+                                   pmax_r[b0:b0 + m].max(0)))
+    c = len(leaves)
     cp = max(128, -(-max(c, 1) // 128) * 128)
     box = np.zeros((8, cp), np.float32)
     # padding lanes: inverted boxes that no interval test can reach
@@ -361,21 +380,18 @@ def build_cluster_tables(tri_v0, tri_e1, tri_e2, cluster_t: int = CLUSTER_T):
     frames[:, 3, 2 * cluster_t:3 * cluster_t] = 1.0
     if t_count:
         w_all, c_all = triangle_frames(v0, e1, e2)      # [3, 3T], [3T]
-        for s, node in enumerate(np.nonzero(leaf)[0]):
-            b = int(bvh.node_begin[node])
-            n = int(bvh.node_count[node])
+        for s, (b, n, bmin, bmax) in enumerate(leaves):
             base[s] = b
             count[s] = n
-            box[B_MIN:B_MIN + 3, s] = bvh.node_min[node]
-            box[B_MAX:B_MAX + 3, s] = bvh.node_max[node]
+            box[B_MIN:B_MIN + 3, s] = bmin
+            box[B_MAX:B_MAX + 3, s] = bmax
             box[B_BASE, s] = float(b)
             box[B_CNT, s] = float(n)
             # the kernels evaluate frames against CLUSTER-LOCAL ray origins
             # (o - box center): absorb the center into the constant term in
             # f64 so the in-kernel split-bf16 contraction sees small, well-
             # conditioned magnitudes (see _dot_split)
-            ctr = (bvh.node_min[node].astype(np.float64)
-                   + bvh.node_max[node].astype(np.float64)) * 0.5
+            ctr = (bmin.astype(np.float64) + bmax.astype(np.float64)) * 0.5
             for a in range(3):                          # local coord part
                 cols = slice(a * t_count + b, a * t_count + b + n)
                 w_c = w_all[:, cols].astype(np.float64)
@@ -755,11 +771,79 @@ def _clamp_c(c_f, n_pad: int):
     return jnp.clip(c_f.astype(jnp.int32), 0, n_pad)
 
 
-def _closest_kernel(n_clusters: int, streamed: bool):
-    unroll = UNROLL
+#: scenes with at most this many REAL clusters take the unrolled tiny path:
+#: no rank pass, no occupancy clip, no visit loop — just n_real gated visits
+#: (a 36-tri Cornell block otherwise spends ~1 us ranking its one candidate)
+TINY_MAX = 4
+
+
+def _tiny_closest(n_real, box_smem, lw_ref, streamed, scratch, rows, o8, i8,
+                  near, far, d4p, sub_ids):
+    ox, oy, oz, dx, dy, dz = rows
+    load_frames = _frame_loader(streamed, lw_ref, scratch)
+    near8 = _r8(near)
+    best_t = jnp.minimum(far, BIG)
+    best_id = jnp.full((1, BLOCK), -1.0, jnp.float32)
+    for c in range(n_real):
+        bmin, bmax, base = _smem_col(box_smem, c)
+
+        def visit(args, c=c, base=base, bmin=bmin, bmax=bmax):
+            best_t, best_id = args
+            lw = load_frames(c)
+            o4sp = _local_o4(ox, oy, oz,
+                             (bmin[0] + bmax[0]) * 0.5,
+                             (bmin[1] + bmax[1]) * 0.5,
+                             (bmin[2] + bmax[2]) * 0.5)
+            tm = _project_leaf(lw, o4sp, d4p, near)
+            t_new, id_new = _min_tree(tm, sub_ids)
+            got = t_new < best_t
+            best_id = jnp.where(got, id_new + base, best_id)
+            best_t = jnp.where(got, t_new, best_t)
+            return best_t, best_id
+
+        tmin8, tmax8 = _slab8(bmin, bmax, o8, i8)
+        rhit = (tmax8 >= near8) & (tmin8 <= tmax8) & (tmin8 <= _r8(best_t))
+        best_t, best_id = jax.lax.cond(jnp.any(rhit), visit, lambda a: a,
+                                       (best_t, best_id))
+    return best_t, best_id
+
+
+def _unroll_for(n_clusters: int) -> int:
+    """Visit-loop unroll: 4 for mesh-class tables (candidate-scan bound —
+    measured on-chip: mesh_heavy bounce 119 -> 97 ms at unroll 4), 1 for
+    small tables (unroll overruns past the front-to-back exit: the 36-tri
+    Cornell got 70% slower at unroll 4)."""
+    if UNROLL != 1:
+        return UNROLL            # explicit override for experiments
+    return 4 if n_clusters >= 512 else 1
+
+
+def _closest_kernel(n_clusters: int, streamed: bool, n_real=None):
+    unroll = _unroll_for(n_clusters)
     def kern(box_ref, box_smem, clip_ref, lw_ref, o4_ref, d4_ref, nf_ref,
              t_ref, id_ref, *scratch, ks=None):
         cp = box_ref.shape[1]
+        if n_real is not None and n_real <= TINY_MAX:
+            o4 = o4_ref[:]
+            d4 = d4_ref[:]
+            near, far = nf_ref[0:1, :], nf_ref[1:2, :]
+            ox, oy, oz, dx, dy, dz = _ray_rows4(o4, d4)
+            o8 = (_r8(ox), _r8(oy), _r8(oz))
+            d8 = (_r8(dx), _r8(dy), _r8(dz))
+            i8 = _inv8(d8)
+            far = jnp.where(far > 0.0, jnp.minimum(far, BIG), -1.0)
+            sub_ids = jax.lax.broadcasted_iota(
+                jnp.int32, (CLUSTER_T, BLOCK), 0).astype(jnp.float32)
+            best_t, best_id = _tiny_closest(
+                n_real, box_smem, lw_ref, streamed, scratch,
+                (ox, oy, oz, dx, dy, dz), o8, i8, near, far,
+                _split16(d4), sub_ids)
+            t_ref[:] = best_t
+            id_ref[:] = best_id
+            if ks is not None:
+                ks[0][:] = jnp.full((1, BLOCK), float(n_real))
+                ks[1][:] = jnp.full((1, BLOCK), float(n_real))
+            return
         pvm = scratch[0]
         o4 = o4_ref[:]
         d4 = d4_ref[:]
@@ -835,11 +919,63 @@ def _closest_kernel(n_clusters: int, streamed: bool):
 # shadow kernel
 # ---------------------------------------------------------------------------
 
-def _shadow_kernel(n_clusters: int, streamed: bool):
-    unroll = UNROLL
+def _shadow_kernel(n_clusters: int, streamed: bool, n_real=None):
+    unroll = _unroll_for(n_clusters)
     def kern(box_ref, box_smem, clip_ref, lw_ref, op_ref, o4_ref, d4_ref,
              nf_ref, mr_ref, mg_ref, mb_ref, ma_ref, *scratch):
         cp = box_ref.shape[1]
+        if n_real is not None and n_real <= TINY_MAX:
+            o4 = o4_ref[:]
+            d4 = d4_ref[:]
+            dist_t = nf_ref[0:1, :]
+            ox, oy, oz, dx, dy, dz = _ray_rows4(o4, d4)
+            o8 = (_r8(ox), _r8(oy), _r8(oz))
+            i8 = _inv8((_r8(dx), _r8(dy), _r8(dz)))
+            load_frames = _frame_loader(streamed, lw_ref, scratch)
+            load_ops = _op_loader(streamed, op_ref, scratch)
+            dist8 = _r8(dist_t)
+            r128 = jax.lax.broadcasted_iota(jnp.int32,
+                                            (CLUSTER_T, CLUSTER_T), 0)
+            c128 = jax.lax.broadcasted_iota(jnp.int32,
+                                            (CLUSTER_T, CLUSTER_T), 1)
+            eye = (r128 == c128).astype(jnp.bfloat16)
+            d4p = _split16(d4)
+            ones = jnp.ones((1, BLOCK), jnp.float32)
+            mr, mg, mb, ma = ones, ones, ones, ones
+            for c in range(n_real):
+                bmin, bmax, _b = _smem_col(box_smem, c)
+
+                def visit(args, c=c, bmin=bmin, bmax=bmax):
+                    mr, mg, mb, ma = args
+                    lw = load_frames(c)
+                    o4sp = _local_o4(ox, oy, oz,
+                                     (bmin[0] + bmax[0]) * 0.5,
+                                     (bmin[1] + bmax[1]) * 0.5,
+                                     (bmin[2] + bmax[2]) * 0.5)
+                    valid = _project_leaf_mask(lw, o4sp, d4p, dist_t)
+                    oprows = load_ops(c)
+                    opc = _dot_oh(eye, oprows,
+                                  (((1,), (1,)), ((), ())))      # [ct, 4]
+                    mr = mr * _prod_sublanes(
+                        jnp.where(valid, opc[:, 0:1], 1.0))
+                    mg = mg * _prod_sublanes(
+                        jnp.where(valid, opc[:, 1:2], 1.0))
+                    mb = mb * _prod_sublanes(
+                        jnp.where(valid, opc[:, 2:3], 1.0))
+                    ma = ma * _prod_sublanes(
+                        jnp.where(valid, opc[:, 3:4], 1.0))
+                    return mr, mg, mb, ma
+
+                tmin8, tmax8 = _slab8(bmin, bmax, o8, i8)
+                rhit = ((tmax8 >= 0.0) & (tmin8 <= tmax8)
+                        & (tmin8 <= dist8) & (_r8(ma) >= 1e-4))
+                mr, mg, mb, ma = jax.lax.cond(jnp.any(rhit), visit,
+                                              lambda a: a, (mr, mg, mb, ma))
+            mr_ref[:] = mr
+            mg_ref[:] = mg
+            mb_ref[:] = mb
+            ma_ref[:] = ma
+            return
         pvm = scratch[0]
         o4 = o4_ref[:]
         d4 = d4_ref[:]
@@ -967,8 +1103,9 @@ def _scratch(streamed: bool, cp: int, with_op: bool = False):
     return base + extra
 
 
-@jax.jit
-def _cluster_closest_impl(origin, direction, near, far, box_tab, frames):
+@partial(jax.jit, static_argnames=("n_real",))
+def _cluster_closest_impl(origin, direction, near, far, box_tab, frames,
+                          n_real=None):
     R = origin.shape[0]
     n_clusters = frames.shape[0]
     streamed = n_clusters > RESIDENT_CLUSTERS
@@ -991,7 +1128,7 @@ def _cluster_closest_impl(origin, direction, near, far, box_tab, frames):
     def kern(box_ref, box_smem, clip_ref, lw_ref, o4_ref, d4_ref, nf_ref,
              *rest):
         outs, scratch = rest[:n_out], rest[n_out:]
-        inner = _closest_kernel(n_clusters, streamed)
+        inner = _closest_kernel(n_clusters, streamed, n_real)
         ks = [o.at[0] for o in outs[2:]] if KSTATS else None
         inner(box_ref, box_smem, clip_ref, lw_ref, o4_ref.at[0],
               d4_ref.at[0], nf_ref.at[0], outs[0].at[0], outs[1].at[0],
@@ -1018,21 +1155,27 @@ def _cluster_closest_impl(origin, direction, near, far, box_tab, frames):
 _KS_LAST = {}
 
 
-def cluster_closest(origin, direction, near, far, box_tab, frames, order):
+def cluster_closest(origin, direction, near, far, box_tab, frames, order,
+                    n_real=None):
     """Closest hit. Returns (t [R], tri_id [R] i32 in ORIGINAL order, -1 =
     miss). Discrete output — wrapped in stop_gradient (the integrator
-    re-derives differentiable t/b1/b2 from the ids via refine_hit)."""
+    re-derives differentiable t/b1/b2 from the ids via refine_hit).
+    ``n_real``: optional static REAL cluster count; scenes with
+    n_real <= TINY_MAX take the unrolled tiny path."""
     t, rid, ks = _cluster_closest_impl(
         *map(jax.lax.stop_gradient,
-             (origin, direction, near, far, box_tab, frames)))
+             (origin, direction, near, far, box_tab, frames)),
+        n_real=n_real if (n_real is not None and n_real <= TINY_MAX)
+        else None)
     if ks is not None:
         _KS_LAST["k"], _KS_LAST["visits"] = ks
     tid = jnp.where(rid >= 0, order[jnp.clip(rid, 0, order.shape[0] - 1)], -1)
     return jax.lax.stop_gradient(t), jax.lax.stop_gradient(tid)
 
 
-@jax.jit
-def _cluster_shadow_impl(origin, direction, dist, box_tab, frames, op_tab):
+@partial(jax.jit, static_argnames=("n_real",))
+def _cluster_shadow_impl(origin, direction, dist, box_tab, frames, op_tab,
+                         n_real=None):
     R = origin.shape[0]
     n_clusters = frames.shape[0]
     streamed = n_clusters > RESIDENT_CLUSTERS
@@ -1056,7 +1199,7 @@ def _cluster_shadow_impl(origin, direction, dist, box_tab, frames, op_tab):
     def kern(box_ref, box_smem, clip_ref, lw_ref, op_ref, o4_ref, d4_ref,
              nf_ref, *rest):
         outs, scratch = rest[:4], rest[4:]
-        inner = _shadow_kernel(n_clusters, streamed)
+        inner = _shadow_kernel(n_clusters, streamed, n_real)
         inner(box_ref, box_smem, clip_ref, lw_ref, op_ref, o4_ref.at[0],
               d4_ref.at[0], nf_ref.at[0], *[o.at[0] for o in outs],
               *scratch)
@@ -1077,45 +1220,59 @@ def _cluster_shadow_impl(origin, direction, dist, box_tab, frames, op_tab):
     return jnp.stack([mr, mg, mb], axis=1), ma
 
 
-@jax.custom_vjp
+@functools.lru_cache(maxsize=None)
+def _make_cluster_shadow(n_real):
+    """Build the custom_vjp shadow entry for a static real-cluster count
+    (None = generic ranked-loop path; <= TINY_MAX = unrolled tiny path).
+    A factory because custom_vjp cannot carry a trailing static arg."""
+
+    @jax.custom_vjp
+    def shadow(origin, direction, dist, box_tab, frames, order,
+               base, count, tri_v0, tri_e1, tri_e2, op_rgb, op_a):
+        op_tab = cluster_opacity(op_rgb, op_a, order, base, count)
+        return _cluster_shadow_impl(origin, direction, dist, box_tab, frames,
+                                    op_tab, n_real=n_real)
+
+    def fwd(origin, direction, dist, box_tab, frames, order,
+            base, count, tri_v0, tri_e1, tri_e2, op_rgb, op_a):
+        out = shadow(origin, direction, dist, box_tab, frames, order,
+                     base, count, tri_v0, tri_e1, tri_e2, op_rgb, op_a)
+        return out, (origin, direction, dist, tri_v0, tri_e1, tri_e2,
+                     op_rgb, op_a)
+
+    def bwd(res, g):
+        origin, direction, dist, tri_v0, tri_e1, tri_e2, op_rgb, op_a = res
+
+        def f(origin, direction, dist, tri_v0, tri_e1, tri_e2, op_rgb, op_a):
+            pw, pc = _frames_jnp(tri_v0, tri_e1, tri_e2)
+            return project_shadow(origin, direction, dist, pw, pc, op_rgb,
+                                  op_a, chunk=min(512, tri_v0.shape[0]))
+
+        _, vjp = jax.vjp(f, origin, direction, dist, tri_v0, tri_e1, tri_e2,
+                         op_rgb, op_a)
+        d_o, d_d, d_dist, d_v0, d_e1, d_e2, d_oprgb, d_opa = vjp(g)
+        return (d_o, d_d, d_dist, None, None, None, None, None,
+                d_v0, d_e1, d_e2, d_oprgb, d_opa)
+
+    shadow.defvjp(fwd, bwd)
+    return shadow
+
+
 def cluster_shadow(origin, direction, dist, box_tab, frames, order,
-                   base, count, tri_v0, tri_e1, tri_e2, op_rgb, op_a):
+                   base, count, tri_v0, tri_e1, tri_e2, op_rgb, op_a,
+                   n_real=None):
     """Shadow traversal: (mask_rgb [R,3], mask_a [R]).
 
     Forward runs the Pallas kernel with the in-jit cluster opacity table
     (live material values); backward replays through the dense
     differentiable projection path (path-replay: the transmission product is
     order-independent, so the gradient matches wherever the alpha early-out
-    has not saturated — beyond it the light term is ~0)."""
-    op_tab = cluster_opacity(op_rgb, op_a, order, base, count)
-    return _cluster_shadow_impl(origin, direction, dist, box_tab, frames,
-                                op_tab)
-
-
-def _cluster_shadow_fwd(origin, direction, dist, box_tab, frames, order,
-                        base, count, tri_v0, tri_e1, tri_e2, op_rgb, op_a):
-    out = cluster_shadow(origin, direction, dist, box_tab, frames, order,
-                         base, count, tri_v0, tri_e1, tri_e2, op_rgb, op_a)
-    return out, (origin, direction, dist, tri_v0, tri_e1, tri_e2,
-                 op_rgb, op_a)
-
-
-def _cluster_shadow_bwd(res, g):
-    origin, direction, dist, tri_v0, tri_e1, tri_e2, op_rgb, op_a = res
-
-    def f(origin, direction, dist, tri_v0, tri_e1, tri_e2, op_rgb, op_a):
-        pw, pc = _frames_jnp(tri_v0, tri_e1, tri_e2)
-        return project_shadow(origin, direction, dist, pw, pc, op_rgb, op_a,
-                              chunk=min(512, tri_v0.shape[0]))
-
-    _, vjp = jax.vjp(f, origin, direction, dist, tri_v0, tri_e1, tri_e2,
-                     op_rgb, op_a)
-    d_o, d_d, d_dist, d_v0, d_e1, d_e2, d_oprgb, d_opa = vjp(g)
-    return (d_o, d_d, d_dist, None, None, None, None, None,
-            d_v0, d_e1, d_e2, d_oprgb, d_opa)
-
-
-cluster_shadow.defvjp(_cluster_shadow_fwd, _cluster_shadow_bwd)
+    has not saturated — beyond it the light term is ~0). ``n_real``: static
+    real cluster count; scenes <= TINY_MAX take the unrolled tiny path."""
+    key = n_real if (n_real is not None and n_real <= TINY_MAX) else None
+    return _make_cluster_shadow(key)(
+        origin, direction, dist, box_tab, frames, order, base, count,
+        tri_v0, tri_e1, tri_e2, op_rgb, op_a)
 
 
 # ---------------------------------------------------------------------------
@@ -1236,6 +1393,14 @@ def _cl_col(cl_smem, s):
     return bmin, bmax, cl_smem[s, B_BASE]
 
 
+#: per-instance cluster sweeps at or below this count skip the vectorized
+#: cull + mini-rank (its ~2 us/visit fixed cost exceeds the serial sweep of
+#: a handful of clusters); above it the ranked shortlist wins (measured:
+#: the round-4 serial sweep cost ~0.5 us of fori/cond machinery per
+#: (instance, cluster))
+MINI_RANK_MIN = 8
+
+
 def _inst_cluster_order(ibox_ref, orows, d4l, valid_ray, t_cap, cl0, ncl,
                         pvm2):
     """Ranked object-space cluster shortlist for one visited instance.
@@ -1261,7 +1426,8 @@ def _inst_cluster_order(ibox_ref, orows, d4l, valid_ray, t_cap, cl0, ncl,
     return _order_reader(pvm2, _visit_order(dist1))
 
 
-def _closest_kernel_inst(n_inst: int, streamed: bool):
+def _closest_kernel_inst(n_inst: int, streamed: bool, max_ncl=None):
+    direct = max_ncl is not None and max_ncl <= MINI_RANK_MIN
     def kern(box_ref, ti_smem, cl_smem, ibox_ref, clip_ref, lw_ref, o4_ref,
              d4_ref, nf_ref, t_ref, id_ref, inst_ref, *scratch):
         ip = box_ref.shape[1]
@@ -1302,6 +1468,39 @@ def _closest_kernel_inst(n_inst: int, streamed: bool):
                 cl0 = ti_smem[c, TI_CL0].astype(jnp.int32)
                 ncl = ti_smem[c, TI_NCL].astype(jnp.int32)
                 gid = ti_smem[c, TI_ID]
+
+                def cvisit_at(s, args, cmin, cmax, base):
+                    best_t, best_id, best_inst = args
+                    lw = load_frames(s)
+                    o4sp = _local_o4(*orows,
+                                     (cmin[0] + cmax[0]) * 0.5,
+                                     (cmin[1] + cmax[1]) * 0.5,
+                                     (cmin[2] + cmax[2]) * 0.5)
+                    tm = _project_leaf(lw, o4sp, d4lp, near)
+                    t_new, id_new = _min_tree(tm, sub_ids)
+                    got = t_new < best_t
+                    best_id = jnp.where(got, id_new + base, best_id)
+                    best_inst = jnp.where(got, gid, best_inst)
+                    best_t = jnp.where(got, t_new, best_t)
+                    return best_t, best_id, best_inst
+
+                if direct:      # few clusters per mesh: serial gated sweep
+                    def inner(j, args):
+                        best_t = args[0]
+                        s = cl0 + j
+                        cmin, cmax, base = _cl_col(cl_smem, s)
+                        ctmin8, ctmax8 = _slab8(cmin, cmax, o8l, i8l)
+                        chit = ((ctmax8 >= near8) & (ctmin8 <= ctmax8)
+                                & (ctmin8 <= _r8(best_t)))
+                        return jax.lax.cond(
+                            jnp.any(chit),
+                            lambda a, s=s, cmin=cmin, cmax=cmax, base=base:
+                            cvisit_at(s, a, cmin, cmax, base),
+                            lambda a: a, args)
+
+                    return jax.lax.fori_loop(0, ncl, inner,
+                                             (best_t, best_id, best_inst))
+
                 cap = jnp.max(jnp.where(valid_ray, best_t, -1.0))
                 read2 = _inst_cluster_order(ibox_ref, orows, d4l, valid_ray,
                                             cap, cl0, ncl, pvm2)
@@ -1315,24 +1514,11 @@ def _closest_kernel_inst(n_inst: int, streamed: bool):
                     chit = ((ctmax8 >= near8) & (ctmin8 <= ctmax8)
                             & (ctmin8 <= _r8(best_t)))
 
-                    def cvisit(args, s=s, base=base, cmin=cmin, cmax=cmax):
-                        best_t, best_id, best_inst = args
-                        lw = load_frames(s)
-                        o4sp = _local_o4(*orows,
-                                         (cmin[0] + cmax[0]) * 0.5,
-                                         (cmin[1] + cmax[1]) * 0.5,
-                                         (cmin[2] + cmax[2]) * 0.5)
-                        tm = _project_leaf(lw, o4sp, d4lp, near)
-                        t_new, id_new = _min_tree(tm, sub_ids)
-                        got = t_new < best_t
-                        best_id = jnp.where(got, id_new + base, best_id)
-                        best_inst = jnp.where(got, gid, best_inst)
-                        best_t = jnp.where(got, t_new, best_t)
-                        return best_t, best_id, best_inst
-
                     best_t, best_id, best_inst = jax.lax.cond(
                         (pdj <= stop_i) & (pdj < INF_GATE) & jnp.any(chit),
-                        cvisit, lambda a: a, (best_t, best_id, best_inst))
+                        lambda a, s=s, cmin=cmin, cmax=cmax, base=base:
+                        cvisit_at(s, a, cmin, cmax, base),
+                        lambda a: a, (best_t, best_id, best_inst))
                     stop_i = jnp.max(best_t)
                     return (j + 1, best_t, best_id, best_inst, stop_i,
                             read2(j + 1)[1])
@@ -1373,7 +1559,8 @@ def _closest_kernel_inst(n_inst: int, streamed: bool):
     return kern
 
 
-def _shadow_kernel_inst(n_inst: int, streamed: bool):
+def _shadow_kernel_inst(n_inst: int, streamed: bool, max_ncl=None):
+    direct = max_ncl is not None and max_ncl <= MINI_RANK_MIN
     def kern(box_ref, ti_smem, cl_smem, ibox_ref, clip_ref, lw_ref, scl_ref,
              op_ref, o4_ref, d4_ref, nf_ref, mr_ref, mg_ref, mb_ref, ma_ref,
              *scratch):
@@ -1422,6 +1609,53 @@ def _shadow_kernel_inst(n_inst: int, streamed: bool):
                 ncl = ti_smem[c, TI_NCL].astype(jnp.int32)
                 gid = ti_smem[c, TI_ID].astype(jnp.int32)
                 opi = op_ref[pl.ds(gid, 1), :, :][0]              # [4, 64]
+
+                def cvisit_at(s, args, cmin, cmax):
+                    mr, mg, mb, ma = args
+                    lw = load_frames(s)
+                    o4sp = _local_o4(*orows,
+                                     (cmin[0] + cmax[0]) * 0.5,
+                                     (cmin[1] + cmax[1]) * 0.5,
+                                     (cmin[2] + cmax[2]) * 0.5)
+                    valid = _project_leaf_mask(lw, o4sp, d4lp, dist_t)
+                    # slot row -> [ct, 1] column -> one-hot -> [ct, 4]
+                    srow = scl_ref[pl.ds(s, 1), :]            # [1, ct]
+                    # slot ids are small ints (bf16-exact either way);
+                    # an all-f32 matvec avoids a Mosaic bf16->f32
+                    # broadcast crash in the non-MXU lowering
+                    scol = jax.lax.dot_general(
+                        eye.astype(jnp.float32), srow,
+                        (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)   # [ct, 1]
+                    oh = (scol == slot64).astype(jnp.bfloat16)  # [ct, 64]
+                    opc = _dot_oh(oh, opi,
+                                  (((1,), (1,)), ((), ())))   # [ct, 4]
+                    mr = mr * _prod_sublanes(
+                        jnp.where(valid, opc[:, 0:1], 1.0))
+                    mg = mg * _prod_sublanes(
+                        jnp.where(valid, opc[:, 1:2], 1.0))
+                    mb = mb * _prod_sublanes(
+                        jnp.where(valid, opc[:, 2:3], 1.0))
+                    ma = ma * _prod_sublanes(
+                        jnp.where(valid, opc[:, 3:4], 1.0))
+                    return mr, mg, mb, ma
+
+                if direct:      # few clusters per mesh: serial gated sweep
+                    def inner(j, args):
+                        ma_c = args[3]
+                        s = cl0 + j
+                        cmin, cmax, _base = _cl_col(cl_smem, s)
+                        ctmin8, ctmax8 = _slab8(cmin, cmax, o8l, i8l)
+                        chit = ((ctmax8 >= 0.0) & (ctmin8 <= ctmax8)
+                                & (ctmin8 <= dist8) & (_r8(ma_c) >= 1e-4))
+                        return jax.lax.cond(
+                            jnp.any(chit),
+                            lambda a, s=s, cmin=cmin, cmax=cmax:
+                            cvisit_at(s, a, cmin, cmax),
+                            lambda a: a, args)
+
+                    return jax.lax.fori_loop(0, ncl, inner, (mr, mg, mb, ma))
+
                 live = jnp.max(jnp.where(_r8(ma) >= 1e-4, dist8, -1.0))
                 read2 = _inst_cluster_order(ibox_ref, orows, d4l, valid_ray,
                                             live, cl0, ncl, pvm2)
@@ -1435,39 +1669,11 @@ def _shadow_kernel_inst(n_inst: int, streamed: bool):
                     chit = ((ctmax8 >= 0.0) & (ctmin8 <= ctmax8)
                             & (ctmin8 <= dist8) & (_r8(ma) >= 1e-4))
 
-                    def cvisit(args, s=s, cmin=cmin, cmax=cmax):
-                        mr, mg, mb, ma = args
-                        lw = load_frames(s)
-                        o4sp = _local_o4(*orows,
-                                         (cmin[0] + cmax[0]) * 0.5,
-                                         (cmin[1] + cmax[1]) * 0.5,
-                                         (cmin[2] + cmax[2]) * 0.5)
-                        valid = _project_leaf_mask(lw, o4sp, d4lp, dist_t)
-                        # slot row -> [ct, 1] column -> one-hot -> [ct, 4]
-                        srow = scl_ref[pl.ds(s, 1), :]            # [1, ct]
-                        # slot ids are small ints (bf16-exact either way);
-                        # an all-f32 matvec avoids a Mosaic bf16->f32
-                        # broadcast crash in the non-MXU lowering
-                        scol = jax.lax.dot_general(
-                            eye.astype(jnp.float32), srow,
-                            (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32)   # [ct, 1]
-                        oh = (scol == slot64).astype(jnp.bfloat16)  # [ct, 64]
-                        opc = _dot_oh(oh, opi,
-                                      (((1,), (1,)), ((), ())))   # [ct, 4]
-                        mr = mr * _prod_sublanes(
-                            jnp.where(valid, opc[:, 0:1], 1.0))
-                        mg = mg * _prod_sublanes(
-                            jnp.where(valid, opc[:, 1:2], 1.0))
-                        mb = mb * _prod_sublanes(
-                            jnp.where(valid, opc[:, 2:3], 1.0))
-                        ma = ma * _prod_sublanes(
-                            jnp.where(valid, opc[:, 3:4], 1.0))
-                        return mr, mg, mb, ma
-
                     mr, mg, mb, ma = jax.lax.cond(
                         (pdj <= stop_i) & (pdj < INF_GATE) & jnp.any(chit),
-                        cvisit, lambda a: a, (mr, mg, mb, ma))
+                        lambda a, s=s, cmin=cmin, cmax=cmax:
+                        cvisit_at(s, a, cmin, cmax),
+                        lambda a: a, (mr, mg, mb, ma))
                     stop_i = jnp.max(jnp.where(_r8(ma) >= 1e-4, dist8, -1.0))
                     return j + 1, mr, mg, mb, ma, stop_i, read2(j + 1)[1]
 
@@ -1530,9 +1736,9 @@ def _scratch_inst(streamed: bool, ip: int, cmp_: int):
                    pltpu.SemaphoreType.DMA]
 
 
-@jax.jit
+@partial(jax.jit, static_argnames=("max_ncl",))
 def _cluster_closest_inst_impl(origin, direction, near, far, ti_box, ti_rows,
-                               cl_obox, frames):
+                               cl_obox, frames, max_ncl=None):
     R = origin.shape[0]
     n_inst = ti_rows.shape[0]
     streamed = frames.shape[0] > RESIDENT_CLUSTERS
@@ -1557,7 +1763,7 @@ def _cluster_closest_inst_impl(origin, direction, near, far, ti_box, ti_rows,
 
     def kern(box_ref, ti_smem, cl_smem, ibox_ref, clip_ref, lw_ref, o4_ref,
              d4_ref, nf_ref, t_ref, id_ref, inst_ref, *scratch):
-        inner = _closest_kernel_inst(n_inst, streamed)
+        inner = _closest_kernel_inst(n_inst, streamed, max_ncl)
         inner(box_ref, ti_smem, cl_smem, ibox_ref, clip_ref, lw_ref,
               o4_ref.at[0], d4_ref.at[0], nf_ref.at[0], t_ref.at[0],
               id_ref.at[0], inst_ref.at[0], *scratch)
@@ -1580,22 +1786,23 @@ def _cluster_closest_inst_impl(origin, direction, near, far, ti_box, ti_rows,
 
 
 def cluster_closest_inst(origin, direction, near, far, ti_box, ti_rows,
-                         cl_obox, frames):
+                         cl_obox, frames, max_ncl=None):
     """Two-level closest hit. Returns (t [R], tri_id [R] i32 in DEVICE
     (cluster) order, inst_id [R] i32; -1 = miss). Discrete outputs — the
     integrator re-derives differentiable t/b1/b2 via refine_tri on the
-    instance-transformed triangle."""
+    instance-transformed triangle. ``max_ncl``: static max clusters per
+    instance; <= MINI_RANK_MIN selects the serial inner sweep."""
     t, tid, inst = _cluster_closest_inst_impl(
         *map(jax.lax.stop_gradient,
              (origin, direction, near, far, ti_box, ti_rows, cl_obox,
-              frames)))
+              frames)), max_ncl=max_ncl)
     return (jax.lax.stop_gradient(t), jax.lax.stop_gradient(tid),
             jax.lax.stop_gradient(inst))
 
 
-@jax.jit
+@partial(jax.jit, static_argnames=("max_ncl",))
 def _cluster_shadow_inst_impl(origin, direction, dist, ti_box, ti_rows,
-                              cl_obox, frames, scl, op_tab):
+                              cl_obox, frames, scl, op_tab, max_ncl=None):
     R = origin.shape[0]
     n_inst = ti_rows.shape[0]
     streamed = frames.shape[0] > RESIDENT_CLUSTERS
@@ -1625,7 +1832,7 @@ def _cluster_shadow_inst_impl(origin, direction, dist, ti_box, ti_rows,
     def kern(box_ref, ti_smem, cl_smem, ibox_ref, clip_ref, lw_ref, scl_ref,
              op_ref, o4_ref, d4_ref, nf_ref, *rest):
         outs, scratch = rest[:4], rest[4:]
-        inner = _shadow_kernel_inst(n_inst, streamed)
+        inner = _shadow_kernel_inst(n_inst, streamed, max_ncl)
         inner(box_ref, ti_smem, cl_smem, ibox_ref, clip_ref, lw_ref, scl_ref,
               op_ref, o4_ref.at[0], d4_ref.at[0], nf_ref.at[0],
               *[o.at[0] for o in outs], *scratch)
@@ -1648,10 +1855,67 @@ def _cluster_shadow_inst_impl(origin, direction, dist, ti_box, ti_rows,
     return jnp.stack([mr, mg, mb], axis=1), ma
 
 
-@jax.custom_vjp
+@functools.lru_cache(maxsize=None)
+def _make_cluster_shadow_inst(max_ncl):
+    """custom_vjp factory keyed on the static max-clusters-per-instance
+    (selects the serial vs ranked inner sweep; see _shadow_kernel_inst)."""
+
+    @jax.custom_vjp
+    def shadow_inst(origin, direction, dist, ti_box, ti_rows, cl_obox,
+                    frames, cl_slot, tri_slot, inst_slot_map, mat_color,
+                    tri_v0, tri_e1, tri_e2, exp_tri, exp_inst, inst_fwd):
+        op_tab = instance_opacity(mat_color, inst_slot_map)
+        return _cluster_shadow_inst_impl(origin, direction, dist, ti_box,
+                                         ti_rows, cl_obox, frames, cl_slot,
+                                         op_tab, max_ncl=max_ncl)
+
+    def fwd(origin, direction, dist, ti_box, ti_rows, cl_obox,
+            frames, cl_slot, tri_slot, inst_slot_map, mat_color,
+            tri_v0, tri_e1, tri_e2, exp_tri, exp_inst, inst_fwd):
+        out = shadow_inst(origin, direction, dist, ti_box, ti_rows,
+                          cl_obox, frames, cl_slot, tri_slot,
+                          inst_slot_map, mat_color, tri_v0, tri_e1,
+                          tri_e2, exp_tri, exp_inst, inst_fwd)
+        res = (origin, direction, dist, tri_slot, inst_slot_map, mat_color,
+               tri_v0, tri_e1, tri_e2, exp_tri, exp_inst, inst_fwd)
+        return out, res
+
+    def bwd(res, g):
+        (origin, direction, dist, tri_slot, inst_slot_map, mat_color,
+         tri_v0, tri_e1, tri_e2, exp_tri, exp_inst, inst_fwd) = res
+
+        def f(origin, direction, dist, tri_v0, tri_e1, tri_e2, mat_color):
+            a = inst_fwd[exp_inst].reshape(-1, 3, 4)          # [K,3,4]
+            lin = a[:, :, :3]
+
+            def l2g(v, translate):
+                w = jnp.einsum("kij,kj->ki", lin, v[exp_tri])
+                return w + a[:, :, 3] if translate else w
+
+            v0w = l2g(tri_v0, True)
+            e1w = l2g(tri_e1, False)
+            e2w = l2g(tri_e2, False)
+            mid = inst_slot_map[exp_inst, tri_slot[exp_tri]]
+            mc = mat_color[mid]
+            pw, pc = _frames_jnp(v0w, e1w, e2w)
+            return project_shadow(origin, direction, dist, pw, pc,
+                                  mc[:, :3], 1.0 - mc[:, 3],
+                                  chunk=min(512, v0w.shape[0]))
+
+        _, vjp = jax.vjp(f, origin, direction, dist, tri_v0, tri_e1,
+                         tri_e2, mat_color)
+        d_o, d_d, d_dist, d_v0, d_e1, d_e2, d_mc = vjp(g)
+        return (d_o, d_d, d_dist, None, None, None, None, None, None, None,
+                d_mc, d_v0, d_e1, d_e2, None, None, None)
+
+    shadow_inst.defvjp(fwd, bwd)
+    return shadow_inst
+
+
 def cluster_shadow_inst(origin, direction, dist, ti_box, ti_rows, cl_obox,
                         frames, cl_slot, tri_slot, inst_slot_map, mat_color,
-                        tri_v0, tri_e1, tri_e2, exp_tri, exp_inst, inst_fwd):
+                        tri_v0, tri_e1, tri_e2, exp_tri, exp_inst, inst_fwd,
+                        max_ncl=None):
     """Two-level shadow traversal: (mask_rgb [R,3], mask_a [R]).
 
     Opacity comes live from ``mat_color`` through each instance's slot
@@ -1659,51 +1923,7 @@ def cluster_shadow_inst(origin, direction, dist, ti_box, ti_rows, cl_obox,
     Backward replays the test through the dense differentiable projection
     over the expanded (instance, triangle) set — the same path-replay
     argument as the soup shadow."""
-    op_tab = instance_opacity(mat_color, inst_slot_map)
-    return _cluster_shadow_inst_impl(origin, direction, dist, ti_box,
-                                     ti_rows, cl_obox, frames, cl_slot,
-                                     op_tab)
-
-
-def _cs_inst_fwd(origin, direction, dist, ti_box, ti_rows, cl_obox,
-                 frames, cl_slot, tri_slot, inst_slot_map, mat_color,
-                 tri_v0, tri_e1, tri_e2, exp_tri, exp_inst, inst_fwd):
-    out = cluster_shadow_inst(origin, direction, dist, ti_box, ti_rows,
-                              cl_obox, frames, cl_slot, tri_slot,
-                              inst_slot_map, mat_color, tri_v0, tri_e1,
-                              tri_e2, exp_tri, exp_inst, inst_fwd)
-    res = (origin, direction, dist, tri_slot, inst_slot_map, mat_color,
-           tri_v0, tri_e1, tri_e2, exp_tri, exp_inst, inst_fwd)
-    return out, res
-
-
-def _cs_inst_bwd(res, g):
-    (origin, direction, dist, tri_slot, inst_slot_map, mat_color,
-     tri_v0, tri_e1, tri_e2, exp_tri, exp_inst, inst_fwd) = res
-
-    def f(origin, direction, dist, tri_v0, tri_e1, tri_e2, mat_color):
-        a = inst_fwd[exp_inst].reshape(-1, 3, 4)          # [K,3,4]
-        lin = a[:, :, :3]
-
-        def l2g(v, translate):
-            w = jnp.einsum("kij,kj->ki", lin, v[exp_tri])
-            return w + a[:, :, 3] if translate else w
-
-        v0w = l2g(tri_v0, True)
-        e1w = l2g(tri_e1, False)
-        e2w = l2g(tri_e2, False)
-        mid = inst_slot_map[exp_inst, tri_slot[exp_tri]]
-        mc = mat_color[mid]
-        pw, pc = _frames_jnp(v0w, e1w, e2w)
-        return project_shadow(origin, direction, dist, pw, pc,
-                              mc[:, :3], 1.0 - mc[:, 3],
-                              chunk=min(512, v0w.shape[0]))
-
-    _, vjp = jax.vjp(f, origin, direction, dist, tri_v0, tri_e1, tri_e2,
-                     mat_color)
-    d_o, d_d, d_dist, d_v0, d_e1, d_e2, d_mc = vjp(g)
-    return (d_o, d_d, d_dist, None, None, None, None, None, None, None,
-            d_mc, d_v0, d_e1, d_e2, None, None, None)
-
-
-cluster_shadow_inst.defvjp(_cs_inst_fwd, _cs_inst_bwd)
+    return _make_cluster_shadow_inst(max_ncl)(
+        origin, direction, dist, ti_box, ti_rows, cl_obox, frames, cl_slot,
+        tri_slot, inst_slot_map, mat_color, tri_v0, tri_e1, tri_e2,
+        exp_tri, exp_inst, inst_fwd)

@@ -185,6 +185,42 @@ def test_payload_sorted_traversal_matches_unsorted():
     np.testing.assert_allclose(np.asarray(t1), np.asarray(t0), rtol=1e-6)
 
 
+def test_tiny_path_matches_generic():
+    """Scenes with <= TINY_MAX real clusters take the unrolled tiny path
+    (no rank/clip/loop); results must equal the generic ranked path."""
+    n_tri = 300   # ~3 clusters
+    v0, e1, e2 = make_soup(n_tri, seed=41)
+    box, frames, order, base, count = build_cluster_tables(v0, e1, e2)
+    n_real = int((count > 0).sum())
+    assert 1 <= n_real <= 4
+    o, d = make_rays(512, seed=42)
+    near = jnp.zeros(512)
+    far = jnp.full(512, 1e30)
+    args = (o, d, near, far, jnp.asarray(box), jnp.asarray(frames),
+            jnp.asarray(order))
+    t_g, tid_g = cluster_closest(*args)
+    t_t, tid_t = cluster_closest(*args, n_real=n_real)
+    np.testing.assert_array_equal(np.asarray(tid_t), np.asarray(tid_g))
+    np.testing.assert_allclose(np.asarray(t_t), np.asarray(t_g), rtol=1e-7)
+
+    rng = np.random.default_rng(43)
+    op_rgb = jnp.asarray(rng.uniform(0.3, 1.0, (n_tri, 3)).astype(np.float32))
+    op_a = jnp.asarray(rng.uniform(0.4, 1.0, n_tri).astype(np.float32))
+    dist = jnp.full(512, 9.0)
+    sargs = (o, d, dist, jnp.asarray(box), jnp.asarray(frames),
+             jnp.asarray(order), jnp.asarray(base), jnp.asarray(count),
+             jnp.asarray(v0), jnp.asarray(e1), jnp.asarray(e2), op_rgb, op_a)
+    rgb_g, a_g = cluster_shadow(*sargs)
+    rgb_t, a_t = cluster_shadow(*sargs, n_real=n_real)
+    # product order may differ (no front-to-back rank in the tiny path);
+    # the alpha<1e-4 early-out can also stop the generic walk earlier
+    live = np.asarray(a_g) >= 1e-3
+    np.testing.assert_allclose(np.asarray(a_t)[live], np.asarray(a_g)[live],
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(rgb_t)[live],
+                               np.asarray(rgb_g)[live], rtol=1e-5)
+
+
 def test_empty_and_single_cluster():
     # tiny soup: one cluster, some rays guaranteed to miss
     v0 = np.array([[0.0, 0.0, 2.0]], np.float32)
