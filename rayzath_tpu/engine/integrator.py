@@ -167,7 +167,9 @@ def _sort_traversal(cfg: RenderConfig, scene: DeviceScene) -> bool:
     if cfg.ray_sort is not None:
         return cfg.ray_sort
     n_cand = scene.n_instances if scene.two_level else scene.n_clusters
-    return n_cand >= 24
+    # threshold from BENCH A/B: glass_and_fog (~19 clusters) ran 15.8 Mrays/s
+    # sorted vs 12.3 unsorted; multi_light (~5 clusters) was indifferent
+    return n_cand >= 16
 
 
 def _run_coherent(cfg: RenderConfig, hw, o, d, extras, run, sort=False):

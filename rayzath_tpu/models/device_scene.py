@@ -112,6 +112,11 @@ class DeviceScene:
     # constant material part and this dense "cutout" set (triangles whose
     # material has a color texture AND alpha < 1) contributes the texture
     # part; see integrator.texture_shadow_factor). World space in both modes.
+    # static 2x2 bilinear block-index tables (ops/texture.block_indices):
+    # one row gather replaces the 4 corner gathers of a bilinear fetch
+    col_blk_idx: Any = None    # [Hc*Wc, 4] i32
+    sc_blk_idx: Any = None     # [Hs*Ws, 4] i32
+
     cut_pw: Any = None        # [3,3C] projection frames
     cut_pc: Any = None        # [3C]
     cut_v0: Any = None        # [C,3] raw geometry (oracle's independent MT)
@@ -956,10 +961,18 @@ def _cutout_fields(world: World, mat_index, mat_color, mat_maps) -> dict:
 
 
 def _atlas_fields(color_atlas, scalar_atlas, map_rect, map_flags, map_uv):
+    from ..ops.texture import block_indices
+    kinds = map_flags[:, 2]
+    col_rects = map_rect[kinds == 0] if len(map_rect) else map_rect
+    sc_rects = map_rect[kinds == 1] if len(map_rect) else map_rect
     return dict(
         color_atlas=jnp.asarray(color_atlas), scalar_atlas=jnp.asarray(scalar_atlas),
         map_rect=jnp.asarray(map_rect), map_flags=jnp.asarray(map_flags),
-        map_uv=jnp.asarray(map_uv))
+        map_uv=jnp.asarray(map_uv),
+        col_blk_idx=jnp.asarray(block_indices(
+            col_rects, color_atlas.shape[0], color_atlas.shape[1])),
+        sc_blk_idx=jnp.asarray(block_indices(
+            sc_rects, scalar_atlas.shape[0], scalar_atlas.shape[1])))
 
 
 def _light_fields(world: World) -> dict:

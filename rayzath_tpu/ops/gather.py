@@ -22,13 +22,20 @@ def gather_rows(table: jnp.ndarray, idx: jnp.ndarray, one_hot_max: int = ONE_HOT
     n = table.shape[0]
     if n > one_hot_max:
         return table[idx]
-    oh = jax.nn.one_hot(idx, n, dtype=jnp.float32)  # [R, N]
-    flat = table.reshape(n, -1)
-    # HIGHEST: default TPU matmul truncates the table values to bf16
-    hi = jax.lax.Precision.HIGHEST
-    if jnp.issubdtype(table.dtype, jnp.floating):
-        out = jnp.matmul(oh, flat, precision=hi)
-    else:
-        out = jnp.rint(jnp.matmul(oh, flat.astype(jnp.float32),
-                                  precision=hi)).astype(table.dtype)
+    # single MXU pass: the one-hot factor is bf16-exact, and the f32 table
+    # values ride through as three bf16 limbs stacked along the contraction
+    # axis (full 24-bit mantissa; Precision.HIGHEST computes the same thing
+    # in 6 passes — measured ~4x slower on the tunneled chip)
+    oh = jax.nn.one_hot(idx, n, dtype=jnp.bfloat16)  # [R, N]
+    flat = table.reshape(n, -1).astype(jnp.float32)
+    h = flat.astype(jnp.bfloat16)
+    r1 = flat - h.astype(jnp.float32)
+    m = r1.astype(jnp.bfloat16)
+    lo = (r1 - m.astype(jnp.float32)).astype(jnp.bfloat16)
+    out = jax.lax.dot_general(
+        jnp.concatenate([oh, oh, oh], axis=1),
+        jnp.concatenate([h, m, lo], axis=0),
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    if not jnp.issubdtype(table.dtype, jnp.floating):
+        out = jnp.rint(out).astype(table.dtype)
     return out.reshape((idx.shape[0],) + table.shape[1:])

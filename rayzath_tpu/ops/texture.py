@@ -48,8 +48,31 @@ def _transform_uv(uv, map_uv, map_id):
     return ur * prm[..., 0], vr * prm[..., 1]
 
 
+def block_indices(rects, h_atlas: int, w_atlas: int):
+    """Static [H*W, 4] linear indices of each texel's 2x2 bilinear block,
+    with the +1 neighbors clamped WITHIN their map's rect (matching the
+    per-map clip the gather-based fetch applied). Junk texels outside every
+    rect clamp against the atlas edge; they are never addressed by a valid
+    (map_id, uv). Built once per atlas at scene compile (numpy)."""
+    import numpy as np
+    yy, xx = np.meshgrid(np.arange(h_atlas), np.arange(w_atlas),
+                         indexing="ij")
+    x1 = np.minimum(xx + 1, w_atlas - 1)
+    y1 = np.minimum(yy + 1, h_atlas - 1)
+    for (y0, x0, hh, ww) in np.asarray(rects).reshape(-1, 4):
+        sl = (slice(y0, y0 + hh), slice(x0, x0 + ww))
+        x1[sl] = np.minimum(x1[sl], x0 + ww - 1)
+        y1[sl] = np.minimum(y1[sl], y0 + hh - 1)
+
+    def lin(y, x):
+        return (y * w_atlas + x).astype(np.int32)
+
+    return np.stack([lin(yy, xx), lin(yy, x1), lin(y1, xx), lin(y1, x1)],
+                    axis=-1).reshape(-1, 4)
+
+
 def fetch(color_atlas, scalar_atlas, map_rect, map_flags, map_uv, map_id, uv,
-          atlas=None):
+          atlas=None, col_blk=None, sc_blk=None):
     """Fetch maps for a batch: ``map_id`` [R] int32 (>=0), ``uv`` [R,2].
 
     Returns [R,4]: RGBA for color-atlas maps; scalar maps broadcast the value
@@ -86,21 +109,6 @@ def fetch(color_atlas, scalar_atlas, map_rect, map_flags, map_uv, map_id, uv,
     col_flat = color_atlas.reshape(-1, 4)
     sc_flat = scalar_atlas.reshape(-1)
 
-    def gather(px, py):
-        px = jnp.clip(px, 0, w - 1) + x0
-        py = jnp.clip(py, 0, h - 1) + y0
-        if atlas == 0:
-            return col_flat[py * caw + px]
-        if atlas == 1:
-            sc = sc_flat[py * saw + px]
-            return jnp.broadcast_to(sc[..., None], sc.shape + (4,))
-        # mixed batch: a map id of one kind indexes the other atlas too, so
-        # clamp both linear indexes before the (masked) reads
-        c = col_flat[jnp.minimum(py * caw + px, col_flat.shape[0] - 1)]
-        sc = sc_flat[jnp.minimum(py * saw + px, sc_flat.shape[0] - 1)]
-        s4 = jnp.broadcast_to(sc[..., None], sc.shape + (4,))
-        return jnp.where((which == 0)[..., None], c, s4)
-
     # bilinear corners (texel centers at +0.5)
     fx = un * wf - 0.5
     fy = vn * hf - 0.5
@@ -108,12 +116,62 @@ def fetch(color_atlas, scalar_atlas, map_rect, map_flags, map_uv, map_id, uv,
     y_lo = jnp.floor(fy).astype(jnp.int32)
     ax = (fx - x_lo.astype(jnp.float32))[..., None]
     ay = (fy - y_lo.astype(jnp.float32))[..., None]
-    v00 = gather(x_lo, y_lo)
-    v10 = gather(x_lo + 1, y_lo)
-    v01 = gather(x_lo, y_lo + 1)
-    v11 = gather(x_lo + 1, y_lo + 1)
-    linear_val = ((v00 * (1 - ax) + v10 * ax) * (1 - ay)
-                  + (v01 * (1 - ax) + v11 * ax) * ay)
+
+    if (col_blk is not None if atlas == 0 else
+            (sc_blk is not None and atlas == 1)):
+        # ONE row gather of the texel's precomputed 2x2 block instead of 4
+        # corner gathers: the block table carries each texel's clamped
+        # neighbors (block_indices), so clipping x_lo/y_lo into the rect and
+        # zeroing the weight at the left/top edge reproduces the 4-gather
+        # result exactly (at the left edge both corners were the same texel,
+        # so the interpolation weight is irrelevant there)
+        ax = jnp.where((x_lo < 0)[..., None], 0.0, ax)
+        ay = jnp.where((y_lo < 0)[..., None], 0.0, ay)
+        xc = jnp.clip(x_lo, 0, w - 1) + x0
+        yc = jnp.clip(y_lo, 0, h - 1) + y0
+        if atlas == 1:
+            srow = jnp.take(sc_blk, yc * saw + xc, axis=0)    # [R, 4]
+            v00 = srow[:, 0:1]
+            v10 = srow[:, 1:2]
+            v01 = srow[:, 2:3]
+            v11 = srow[:, 3:4]
+            one = ((v00 * (1 - ax) + v10 * ax) * (1 - ay)
+                   + (v01 * (1 - ax) + v11 * ax) * ay)
+            # broadcast to rgba AFTER interpolation: quarter the math
+            def bc(x):
+                return jnp.broadcast_to(x, x.shape[:-1] + (4,))
+            v00, v10, v01, v11 = bc(v00), bc(v10), bc(v01), bc(v11)
+            linear_val = bc(one)
+        else:
+            crow = jnp.take(col_blk, yc * caw + xc, axis=0)   # [R, 16]
+            v00 = crow[:, 0:4]
+            v10 = crow[:, 4:8]
+            v01 = crow[:, 8:12]
+            v11 = crow[:, 12:16]
+            linear_val = ((v00 * (1 - ax) + v10 * ax) * (1 - ay)
+                          + (v01 * (1 - ax) + v11 * ax) * ay)
+    else:
+        def gather(px, py):
+            px = jnp.clip(px, 0, w - 1) + x0
+            py = jnp.clip(py, 0, h - 1) + y0
+            if atlas == 0:
+                return col_flat[py * caw + px]
+            if atlas == 1:
+                sc = sc_flat[py * saw + px]
+                return jnp.broadcast_to(sc[..., None], sc.shape + (4,))
+            # mixed batch: a map id of one kind indexes the other atlas
+            # too, so clamp both linear indexes before the (masked) reads
+            c = col_flat[jnp.minimum(py * caw + px, col_flat.shape[0] - 1)]
+            sc = sc_flat[jnp.minimum(py * saw + px, sc_flat.shape[0] - 1)]
+            s4 = jnp.broadcast_to(sc[..., None], sc.shape + (4,))
+            return jnp.where((which == 0)[..., None], c, s4)
+
+        v00 = gather(x_lo, y_lo)
+        v10 = gather(x_lo + 1, y_lo)
+        v01 = gather(x_lo, y_lo + 1)
+        v11 = gather(x_lo + 1, y_lo + 1)
+        linear_val = ((v00 * (1 - ax) + v10 * ax) * (1 - ay)
+                      + (v01 * (1 - ax) + v11 * ax) * ay)
     # point sample == the corner selected by rounding the fractional parts
     # (exact: floor(f) = floor(f - 0.5) + [frac >= 0.5], incl. the clip)
     sx = ax >= 0.5
@@ -126,6 +184,19 @@ def fetch(color_atlas, scalar_atlas, map_rect, map_flags, map_uv, map_id, uv,
 
 
 def fetch_scene(scene, map_id, uv, atlas=None):
-    """Convenience wrapper over a DeviceScene."""
+    """Convenience wrapper over a DeviceScene. When the scene carries the
+    static 2x2 block-index tables and the atlas kind is known statically,
+    the bilinear fetch collapses to ONE row gather (built in-jit from the
+    live — trainable — atlas, so gradients still flow into texels)."""
+    col_blk = sc_blk = None
+    if atlas == 0 and getattr(scene, "col_blk_idx", None) is not None:
+        col_blk = jnp.take(scene.color_atlas.reshape(-1, 4),
+                           scene.col_blk_idx.reshape(-1),
+                           axis=0).reshape(-1, 16)
+    elif atlas == 1 and getattr(scene, "sc_blk_idx", None) is not None:
+        sc_blk = jnp.take(scene.scalar_atlas.reshape(-1),
+                          scene.sc_blk_idx.reshape(-1),
+                          axis=0).reshape(-1, 4)
     return fetch(scene.color_atlas, scene.scalar_atlas, scene.map_rect,
-                 scene.map_flags, scene.map_uv, map_id, uv, atlas=atlas)
+                 scene.map_flags, scene.map_uv, map_id, uv, atlas=atlas,
+                 col_blk=col_blk, sc_blk=sc_blk)

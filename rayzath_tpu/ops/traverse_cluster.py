@@ -725,11 +725,30 @@ UNROLL = int(os.environ.get("RZ_UNROLL", "1"))
 # The visit loop is therefore always gated.
 
 
-def _smem_col(box_smem, c):
-    """(bmin, bmax, base) of candidate ``c`` — 7 SMEM scalar reads."""
-    bmin = (box_smem[c, B_MIN], box_smem[c, B_MIN + 1], box_smem[c, B_MIN + 2])
-    bmax = (box_smem[c, B_MAX], box_smem[c, B_MAX + 1], box_smem[c, B_MAX + 2])
-    return bmin, bmax, box_smem[c, B_BASE]
+#: above this many box-table rows the per-candidate scalar feed moves from
+#: SMEM (1 MB limit — a [5760, 8] table blew it on the 500k-tri scene) to a
+#: 128-lane-padded VMEM table read with dynamic sublane slices (slower per
+#: scalar, only used by huge streamed scenes)
+SMEM_ROWS_MAX = 2048
+
+
+def _col_getter(box_smem, smem_ok: bool):
+    """Per-candidate scalar reader: ``get(c)(j)`` -> box_rows[c, j]."""
+    if smem_ok:
+        def get(c):
+            return lambda j: box_smem[c, j]
+    else:
+        def get(c):
+            row = box_smem[pl.ds(c, 1), :]
+            return lambda j: row[0, j]
+    return get
+
+
+def _smem_col(get_c):
+    """(bmin, bmax, base) of one candidate from its scalar reader."""
+    bmin = (get_c(B_MIN), get_c(B_MIN + 1), get_c(B_MIN + 2))
+    bmax = (get_c(B_MAX), get_c(B_MAX + 1), get_c(B_MAX + 2))
+    return bmin, bmax, get_c(B_BASE)
 
 
 def _pad_frames(frames):
@@ -785,7 +804,7 @@ def _tiny_closest(n_real, box_smem, lw_ref, streamed, scratch, rows, o8, i8,
     best_t = jnp.minimum(far, BIG)
     best_id = jnp.full((1, BLOCK), -1.0, jnp.float32)
     for c in range(n_real):
-        bmin, bmax, base = _smem_col(box_smem, c)
+        bmin, bmax, base = _smem_col(lambda j, c=c: box_smem[c, j])
 
         def visit(args, c=c, base=base, bmin=bmin, bmax=bmax):
             best_t, best_id = args
@@ -818,11 +837,13 @@ def _unroll_for(n_clusters: int) -> int:
     return 4 if n_clusters >= 512 else 1
 
 
-def _closest_kernel(n_clusters: int, streamed: bool, n_real=None):
+def _closest_kernel(n_clusters: int, streamed: bool, n_real=None,
+                    smem_ok: bool = True):
     unroll = _unroll_for(n_clusters)
     def kern(box_ref, box_smem, clip_ref, lw_ref, o4_ref, d4_ref, nf_ref,
              t_ref, id_ref, *scratch, ks=None):
         cp = box_ref.shape[1]
+        box_get = _col_getter(box_smem, smem_ok)
         if n_real is not None and n_real <= TINY_MAX:
             o4 = o4_ref[:]
             d4 = d4_ref[:]
@@ -867,8 +888,8 @@ def _closest_kernel(n_clusters: int, streamed: bool, n_real=None):
             for u in range(unroll):
                 c_f, pd = read_order(k + u)
                 c = _clamp_c(c_f, n_clusters)   # n_clusters = pad row
-                base = box_smem[c, B_BASE]
-                bmin, bmax, _b = _smem_col(box_smem, c)
+                g = box_get(c)
+                bmin, bmax, base = _smem_col(g)
 
                 def visit(args, c=c, base=base, bmin=bmin, bmax=bmax):
                     best_t, best_id, nv = args
@@ -919,11 +940,13 @@ def _closest_kernel(n_clusters: int, streamed: bool, n_real=None):
 # shadow kernel
 # ---------------------------------------------------------------------------
 
-def _shadow_kernel(n_clusters: int, streamed: bool, n_real=None):
+def _shadow_kernel(n_clusters: int, streamed: bool, n_real=None,
+                   smem_ok: bool = True):
     unroll = _unroll_for(n_clusters)
     def kern(box_ref, box_smem, clip_ref, lw_ref, op_ref, o4_ref, d4_ref,
              nf_ref, mr_ref, mg_ref, mb_ref, ma_ref, *scratch):
         cp = box_ref.shape[1]
+        box_get = _col_getter(box_smem, smem_ok)
         if n_real is not None and n_real <= TINY_MAX:
             o4 = o4_ref[:]
             d4 = d4_ref[:]
@@ -943,7 +966,7 @@ def _shadow_kernel(n_clusters: int, streamed: bool, n_real=None):
             ones = jnp.ones((1, BLOCK), jnp.float32)
             mr, mg, mb, ma = ones, ones, ones, ones
             for c in range(n_real):
-                bmin, bmax, _b = _smem_col(box_smem, c)
+                bmin, bmax, _b = _smem_col(lambda j, c=c: box_smem[c, j])
 
                 def visit(args, c=c, bmin=bmin, bmax=bmax):
                     mr, mg, mb, ma = args
@@ -1004,7 +1027,7 @@ def _shadow_kernel(n_clusters: int, streamed: bool, n_real=None):
             for u in range(unroll):
                 c_f, pd = read_order(k + u)
                 c = _clamp_c(c_f, n_clusters)   # n_clusters = pad row
-                bmin, bmax, _b = _smem_col(box_smem, c)
+                bmin, bmax, _b = _smem_col(box_get(c))
 
                 def visit(args, c=c, bmin=bmin, bmax=bmax):
                     mr, mg, mb, ma = args
@@ -1070,11 +1093,16 @@ def _ray_mats(v, last: float, rp: int):
     return m.T.reshape(4, rp // BLOCK, BLOCK).transpose(1, 0, 2)
 
 
-def _specs(streamed: bool, box_shape, lw_shape, clip_k: int):
+def _specs(streamed: bool, box_shape, lw_shape, clip_k: int,
+           smem_ok: bool = True):
     box_spec = pl.BlockSpec(box_shape, lambda i: (0, 0),
                             memory_space=pltpu.VMEM)
-    rows_spec = pl.BlockSpec((box_shape[1], 8), lambda i: (0, 0),
-                             memory_space=pltpu.SMEM)
+    if smem_ok:
+        rows_spec = pl.BlockSpec((box_shape[1], 8), lambda i: (0, 0),
+                                 memory_space=pltpu.SMEM)
+    else:   # 1 MB SMEM limit: huge streamed tables ride in VMEM instead
+        rows_spec = pl.BlockSpec((box_shape[1], 128), lambda i: (0, 0),
+                                 memory_space=pltpu.VMEM)
     clip_spec = pl.BlockSpec((clip_k, 8), lambda i: (0, 0),
                              memory_space=pltpu.SMEM)
     lw_spec = pl.BlockSpec(lw_shape, lambda i: (0, 0, 0),
@@ -1120,15 +1148,20 @@ def _cluster_closest_impl(origin, direction, near, far, box_tab, frames,
                     jnp.pad(far, (0, rp - R), constant_values=-1.0)], axis=0)
     nf_b = nf.reshape(2, nb, BLOCK).transpose(1, 0, 2)
     clip = clip_rows_jnp(box_tab, n_clusters)
+    smem_ok = cp <= SMEM_ROWS_MAX
+    rows = box_rows(box_tab)
+    if not smem_ok:
+        rows = jnp.pad(rows, ((0, 0), (0, 120)))
     (box_spec, rows_spec, clip_spec, lw_spec, ray_spec, nf_spec,
-     out_spec) = _specs(streamed, box_tab.shape, frames.shape, clip.shape[0])
+     out_spec) = _specs(streamed, box_tab.shape, frames.shape, clip.shape[0],
+                        smem_ok)
 
     n_out = 4 if KSTATS else 2
 
     def kern(box_ref, box_smem, clip_ref, lw_ref, o4_ref, d4_ref, nf_ref,
              *rest):
         outs, scratch = rest[:n_out], rest[n_out:]
-        inner = _closest_kernel(n_clusters, streamed, n_real)
+        inner = _closest_kernel(n_clusters, streamed, n_real, smem_ok)
         ks = [o.at[0] for o in outs[2:]] if KSTATS else None
         inner(box_ref, box_smem, clip_ref, lw_ref, o4_ref.at[0],
               d4_ref.at[0], nf_ref.at[0], outs[0].at[0], outs[1].at[0],
@@ -1144,7 +1177,7 @@ def _cluster_closest_impl(origin, direction, near, far, box_tab, frames,
         out_specs=tuple(out_spec for _ in range(n_out)),
         scratch_shapes=_scratch(streamed, cp),
         interpret=_interpret(),
-    )(box_tab, box_rows(box_tab), clip, frames, o4, d4, nf_b)
+    )(box_tab, rows, clip, frames, o4, d4, nf_b)
     t, tid = outs[0], outs[1]
     ks = (outs[2][:, 0, 0], outs[3][:, 0, 0]) if KSTATS else None
     return t.reshape(rp)[:R], tid.reshape(rp)[:R].astype(jnp.int32), ks
@@ -1191,15 +1224,20 @@ def _cluster_shadow_impl(origin, direction, dist, box_tab, frames, op_tab,
                     jnp.zeros(rp, jnp.float32)], axis=0)
     nf_b = nf.reshape(2, nb, BLOCK).transpose(1, 0, 2)
     clip = clip_rows_jnp(box_tab, n_clusters)
+    smem_ok = cp <= SMEM_ROWS_MAX
+    rows = box_rows(box_tab)
+    if not smem_ok:
+        rows = jnp.pad(rows, ((0, 0), (0, 120)))
     (box_spec, rows_spec, clip_spec, lw_spec, ray_spec, nf_spec,
-     out_spec) = _specs(streamed, box_tab.shape, frames.shape, clip.shape[0])
+     out_spec) = _specs(streamed, box_tab.shape, frames.shape, clip.shape[0],
+                        smem_ok)
     op_spec = pl.BlockSpec(op_tab.shape, lambda i: (0, 0, 0),
                            memory_space=pl.ANY if streamed else pltpu.VMEM)
 
     def kern(box_ref, box_smem, clip_ref, lw_ref, op_ref, o4_ref, d4_ref,
              nf_ref, *rest):
         outs, scratch = rest[:4], rest[4:]
-        inner = _shadow_kernel(n_clusters, streamed, n_real)
+        inner = _shadow_kernel(n_clusters, streamed, n_real, smem_ok)
         inner(box_ref, box_smem, clip_ref, lw_ref, op_ref, o4_ref.at[0],
               d4_ref.at[0], nf_ref.at[0], *[o.at[0] for o in outs],
               *scratch)
@@ -1215,7 +1253,7 @@ def _cluster_shadow_impl(origin, direction, dist, box_tab, frames, op_tab,
                         for _ in range(4)),
         scratch_shapes=_scratch(streamed, cp, with_op=True),
         interpret=_interpret(),
-    )(box_tab, box_rows(box_tab), clip, frames, op_tab, o4, d4, nf_b)
+    )(box_tab, rows, clip, frames, op_tab, o4, d4, nf_b)
     mr, mg, mb, ma = [x.reshape(rp)[:R] for x in outs]
     return jnp.stack([mr, mg, mb], axis=1), ma
 

@@ -148,7 +148,10 @@ def test_streamed_path_parity(monkeypatch):
     rgb_res, a_res = cluster_shadow(*args_s)
     assert frames.shape[0] > 1  # scene must actually span several clusters
 
+    # also force the huge-table path: scalar feeds via 128-lane VMEM reads
+    # instead of the (1 MB-limited) SMEM table
     monkeypatch.setattr(tc, "RESIDENT_CLUSTERS", 1)
+    monkeypatch.setattr(tc, "SMEM_ROWS_MAX", 1)
     tc._cluster_closest_impl.clear_cache()
     tc._cluster_shadow_impl.clear_cache()
     try:
