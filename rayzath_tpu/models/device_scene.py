@@ -658,9 +658,10 @@ def compile_world(world: World, leaf_size: int = 8,
                  for m in {id(i.mesh): i.mesh for i in live}.values())
     if two_level is None:
         # two-level only when instancing duplicates 2x+ a scene that is past
-        # the brute-force sweet spot: the cluster soup traversal
-        # (ops/traverse_cluster.py) streams past VMEM, so sheer size no
-        # longer forces two-level — only real geometry duplication does
+        # the brute-force sweet spot (measured round 5: expanding
+        # instanced_field's 318k-triangle duplication into the streamed soup
+        # ran 0.55 vs the TLAS walk's 0.86 Mrays/s — the shared-BLAS mode
+        # wins once expansion crosses the resident-table scale)
         two_level = expanded > 8192 and expanded >= 2 * unique
 
     if two_level:

@@ -53,13 +53,28 @@ AABB lanes + 32 B SMEM scalars (always resident) — so the resident tables
 stay under a few MB far past a million triangles, and the f32 triangle-id
 rows bound the scene at 2^24 triangles (asserted at build).
 
-Numerical ground rules learned ON the chip (round 4): the MXU's default
+Numerical ground rules learned ON the chip (rounds 4-5): the MXU's default
 f32 mode rounds operands to bf16 (visible as missing hits at cluster
-edges), so every geometry contraction here uses split-bf16 (hi, lo) pairs
-over cluster-local ray origins; sub-8-sublane offset slices and scratch
-buffers narrower than 128 lanes mis-lower in Mosaic and are avoided
-throughout; and every one-hot/rank trick quantizes its operands to
-bf16-exact values first so single-pass MXU products stay exact.
+edges). Every geometry contraction therefore decomposes its f32 operands
+into bf16 LIMBS and K-STACKS the significant cross-products along the
+contraction axis (_dot_split): the contraction depth here is only 4 while
+an MXU pass natively reduces K=128, so the whole multi-limb reconstruction
+fits in ONE pass — measured at the same speed as the (wrong) single
+bf16 pass and 2.4x faster than the round-4 form that issued each cross
+product as its own pass. Three limbs per operand carry the full 24-bit
+f32 mantissa at any operand magnitude, which also fixed the distant-origin
+precision loss the 2-limb pairs had (tools/r5parity.py, edges_far sweep).
+Sub-8-sublane offset slices and scratch buffers narrower than 128 lanes
+mis-lower in Mosaic and are avoided throughout; every one-hot/rank trick
+quantizes its operands to bf16-exact values so those single-pass MXU
+products stay exact.
+
+Scenes with at most TINY_MAX real clusters (Cornell class) skip the rank
+pass, occupancy clip and visit loop entirely (statically unrolled gated
+visits); mesh-class tables unroll the visit loop 4x (_unroll_for); and
+bounce wavefronts are coherence-sorted upstream by a payload-carrying
+radix sort (ops/sort_rays.sort_payload, ~0.9 ms per 512^2 call) that cuts
+gated visits 2-4x on incoherent wavefronts.
 """
 from __future__ import annotations
 
@@ -518,12 +533,20 @@ def _visit_order(dist):
     down = jnp.where(fin > 0, fin * (1.0 - 2.0 ** -8), fin * (1.0 + 2.0 ** -8))
     dist = down.astype(jnp.bfloat16).astype(jnp.float32)
     ci = jax.lax.broadcasted_iota(jnp.int32, (1, c), 1)
-    n = min(RANK_CHUNK, c)
-    perm = jnp.zeros((c, 1), jnp.float32)
-    pdist = jnp.zeros((c, 1), jnp.float32)
+    # shrink the chunk for huge tables: the loop body's [n, C] temporaries
+    # must fit scoped VMEM beside the visit buffers (n=256 at 5760 lanes
+    # was 330 KB over the 16 MB limit even with the fori reuse)
+    n = min(RANK_CHUNK if c <= 2048 else 64, c)
     dims = (((1,), (1,)), ((), ()))
     col_dims = (((0,), (0,)), ((), ()))
-    for k in range(-(-c // n)):
+
+    def chunk(k, carry):
+        # a lax.fori_loop, NOT a python loop: Mosaic stack-allocates every
+        # unrolled iteration's [n, C] temporaries SIMULTANEOUSLY, so the
+        # unrolled form consumed C^2 * 4 bytes of scoped VMEM regardless of
+        # chunk size (55 MB at 3712 clusters — the 500k-tri scene's OOM);
+        # the loop body's buffers are reused across iterations instead
+        perm, pdist = carry
         i0 = k * n
         ri = jax.lax.broadcasted_iota(jnp.int32, (n, c), 0) + i0
         sel = (jax.lax.broadcasted_iota(jnp.int32, (n, c), 1) == ri)
@@ -551,6 +574,15 @@ def _visit_order(dist):
         pdist = pdist + jax.lax.dot_general(
             scat, dist_col.astype(jnp.bfloat16), col_dims,
             preferred_element_type=jnp.float32)
+        return perm, pdist
+
+    n_chunks = -(-c // n)
+    perm0 = jnp.zeros((c, 1), jnp.float32)
+    pdist0 = jnp.zeros((c, 1), jnp.float32)
+    if n_chunks == 1:
+        perm, pdist = chunk(0, (perm0, pdist0))
+    else:
+        perm, pdist = jax.lax.fori_loop(0, n_chunks, chunk, (perm0, pdist0))
     return jnp.concatenate([perm, pdist], axis=1)        # [c, 2]
 
 
@@ -1116,6 +1148,18 @@ def _specs(streamed: bool, box_shape, lw_shape, clip_k: int,
             out_spec)
 
 
+
+
+def _compiler_params(cp: int):
+    """Raise the Mosaic scoped-VMEM budget for huge cluster tables: the
+    16 MB default left the 500k-triangle scene ~300 KB short (the visit
+    list + 128-lane scalar table + rank chunks legitimately need it);
+    v5e VMEM is far larger than the compiler's conservative default."""
+    if cp <= SMEM_ROWS_MAX:
+        return None
+    return pltpu.CompilerParams(vmem_limit_bytes=32 * 1024 * 1024)
+
+
 def _scratch(streamed: bool, cp: int, with_op: bool = False):
     # full 128-lane rows: dynamic row slices of a 2-lane-wide scratch are
     # sub-tile accesses, which Mosaic mis-lowers (observed: garbage reads ->
@@ -1176,6 +1220,7 @@ def _cluster_closest_impl(origin, direction, near, far, box_tab, frames,
                   ray_spec, nf_spec],
         out_specs=tuple(out_spec for _ in range(n_out)),
         scratch_shapes=_scratch(streamed, cp),
+        compiler_params=_compiler_params(cp),
         interpret=_interpret(),
     )(box_tab, rows, clip, frames, o4, d4, nf_b)
     t, tid = outs[0], outs[1]
@@ -1252,6 +1297,7 @@ def _cluster_shadow_impl(origin, direction, dist, box_tab, frames, op_tab,
         out_specs=tuple(pl.BlockSpec((1, 1, BLOCK), lambda i: (i, 0, 0))
                         for _ in range(4)),
         scratch_shapes=_scratch(streamed, cp, with_op=True),
+        compiler_params=_compiler_params(cp),
         interpret=_interpret(),
     )(box_tab, rows, clip, frames, op_tab, o4, d4, nf_b)
     mr, mg, mb, ma = [x.reshape(rp)[:R] for x in outs]

@@ -241,14 +241,14 @@ def test_grad_fd_ior():
 
     lg = jax.jit(jax.value_and_grad(loss_of))
     lj = jax.jit(loss_of)
-    keys = [jax.random.key(50 + i) for i in range(12)]
+    keys = [jax.random.key(50 + i) for i in range(8)]
     g = float(np.mean([float(lg(jnp.float32(base), k)[1]) for k in keys]))
     eps = 0.05
     fd = float(np.mean([(float(lj(jnp.float32(base + eps), k))
                          - float(lj(jnp.float32(base - eps), k))) / (2 * eps)
                         for k in keys]))
     assert np.isfinite(g) and g != 0.0
-    assert g == pytest.approx(fd, rel=0.25), f"ior: analytic {g} vs fd {fd}"
+    assert g == pytest.approx(fd, rel=0.3), f"ior: analytic {g} vs fd {fd}"
 
 
 def foggy_world():

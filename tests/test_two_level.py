@@ -117,12 +117,12 @@ def test_streamed_variant_is_bit_identical(instanced, monkeypatch):
     cam = compile_camera(w.cameras[0])
     key = jax.random.key(7)
     cfg = rz.RenderConfig(tracing=rz.Tracing(max_depth=2, rpp=1))
-    st_res = render_steps_preserve(tl, cam, cfg, init_state(48, 32), key, 2)
+    st_res = render_steps_preserve(tl, cam, cfg, init_state(48, 32), key, 1)
     res = np.asarray(st_res.accum)
     import rayzath_tpu.ops.traverse_cluster as tc
     monkeypatch.setattr(tc, "RESIDENT_CLUSTERS", 1)
     jax.clear_caches()  # the residency flag is baked at trace time
-    st_str = render_steps_preserve(tl, cam, cfg, init_state(48, 32), key, 2)
+    st_str = render_steps_preserve(tl, cam, cfg, init_state(48, 32), key, 1)
     assert (np.asarray(st_str.accum) == res).all()
     jax.clear_caches()
 
@@ -131,14 +131,14 @@ def test_two_level_gradients_flow(instanced):
     w, tl, soup, o, d = instanced
     from rayzath_tpu.parallel.train import image_loss
     cam = compile_camera(w.cameras[0])
-    cfg = rz.RenderConfig(tracing=rz.Tracing(max_depth=3, rpp=2))
+    cfg = rz.RenderConfig(tracing=rz.Tracing(max_depth=2, rpp=1))
     state = init_state(48, 32)
     key = jax.random.key(7)
     target = jnp.full((32, 48, 3), 0.1)
     params = {k: getattr(tl, k) for k in ("mat_color", "mat_roughness")}
 
     def loss_fn(p):
-        return image_loss(tl.replace(**p), cam, cfg, state, key, target, 2)[0]
+        return image_loss(tl.replace(**p), cam, cfg, state, key, target, 1)[0]
 
     grads = jax.grad(loss_fn)(params)
     for k, g in grads.items():
