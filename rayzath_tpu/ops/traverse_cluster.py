@@ -1387,16 +1387,6 @@ TI_W = 24
 # same layout as box_rows (B_MIN/B_MAX/B_BASE/B_CNT) in OBJECT space.
 
 
-def _transform_aabb(fwd, bmin, bmax):
-    """World AABB of an object-space box under a 3x4 transform (host)."""
-    pts = np.array([[x, y, z]
-                    for x in (bmin[0], bmax[0])
-                    for y in (bmin[1], bmax[1])
-                    for z in (bmin[2], bmax[2])], np.float32)
-    w = pts @ fwd[:, :3].T + fwd[:, 3]
-    return w.min(0), w.max(0)
-
-
 def build_instance_tables(wmin, wmax, inv, cl0, ncl, inst_id):
     """Host build of the TLAS tables: wmin/wmax [I,3] world AABBs,
     inv [I,3,4] world->object, cl0/ncl [I] shared-cluster ranges, inst_id [I].
